@@ -1,0 +1,172 @@
+"""Rubik's cube environment as a batched permutation-gather kernel.
+
+State: flat (54,) uint8 sticker array, index = face*9 + row*3 + col with
+faces ordered U=0, D=1, L=2, R=3, B=4, F=5 and goal colors = index // 9 —
+the same encoding as the reference (environments/cube3.py:37, 77-85), so its
+pickled test sets load directly. A quarter-turn is a fixed permutation of the
+54 positions; the 12 moves live in one (12, 54) table and a move is a single
+gather `next = state[perm[action]]` (the reference does the same idea as a
+scatter of changed indices, cube3.py:163-171 and cpp/environments.cpp:222-234).
+
+Move ordering matches the reference (cube3.py:28): for each face U,D,L,R,B,F
+the -1 (counter) then +1 (clockwise-convention) turn; reverse of move 2k is
+2k+1 and vice versa.
+
+The table builder below is a clean-room construction from the face-adjacency
+convention the reference encodes (cube3.py:173-256): a signed turn rotates the
+face's own 3x3 sticker grid by 90 degrees and cycles the four adjacent-face
+border strips. It generalizes over cube_len (the C++ side also ships a 4x4x4,
+cpp/environments.h:125-145).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .base import Environment
+
+# Face indices. Colors in the goal state are face indices (sticker // n^2).
+U, D, L, R, B, F = 0, 1, 2, 3, 4, 5
+FACE_NAMES = ["U", "D", "L", "R", "B", "F"]
+
+# For each face, the four adjacent faces in the cyclic order their border
+# strips are cycled by a turn of that face.
+_ADJ_FACES: Dict[int, List[int]] = {
+    U: [L, F, R, B],
+    D: [L, B, R, F],
+    L: [U, B, D, F],
+    R: [U, F, D, B],
+    B: [U, R, D, L],
+    F: [U, L, D, R],
+}
+
+
+def _strip(spec, n: int) -> List[Tuple[int, int]]:
+    """Expand a (rows, cols) strip spec where one element is a scalar and the
+    other an ordered index sequence into a list of n (row, col) cells."""
+    rows, cols = spec
+    rows = [rows] * n if isinstance(rows, int) else list(rows)
+    cols = [cols] * n if isinstance(cols, int) else list(cols)
+    return list(zip(rows, cols))
+
+
+def _adj_strips(n: int) -> Dict[int, Dict[int, List[Tuple[int, int]]]]:
+    """The border strip of each neighbor face that touches a given face,
+    listed in an orientation consistent with _ADJ_FACES cycling."""
+    fwd = list(range(n))
+    rev = list(range(n - 1, -1, -1))
+    last = n - 1
+    return {
+        U: {L: _strip((fwd, last), n), F: _strip((fwd, last), n),
+            R: _strip((fwd, last), n), B: _strip((fwd, last), n)},
+        D: {L: _strip((fwd, 0), n), B: _strip((fwd, 0), n),
+            R: _strip((fwd, 0), n), F: _strip((fwd, 0), n)},
+        L: {U: _strip((0, fwd), n), B: _strip((last, rev), n),
+            D: _strip((0, fwd), n), F: _strip((0, fwd), n)},
+        R: {U: _strip((last, fwd), n), F: _strip((last, fwd), n),
+            D: _strip((last, fwd), n), B: _strip((0, rev), n)},
+        B: {U: _strip((fwd, last), n), R: _strip((last, rev), n),
+            D: _strip((rev, 0), n), L: _strip((0, fwd), n)},
+        F: {U: _strip((fwd, 0), n), L: _strip((last, fwd), n),
+            D: _strip((rev, last), n), R: _strip((0, rev), n)},
+    }
+
+
+def build_move_permutations(cube_len: int) -> np.ndarray:
+    """(2 * 6, n^2 * 6) permutation table; next = state[perm[move]].
+
+    Move 2*f + 0 is the sign=-1 turn of face f, move 2*f + 1 the sign=+1
+    turn, giving the reference's move ordering (cube3.py:28).
+    """
+    n = cube_len
+    n2 = n * n
+    strips = _adj_strips(n)
+
+    def flat(face: int, r: int, c: int) -> int:
+        return face * n2 + r * n + c
+
+    perms = np.zeros((12, 6 * n2), dtype=np.int32)
+    for face in range(6):
+        for si, sign in enumerate((-1, 1)):
+            perm = np.arange(6 * n2, dtype=np.int32)
+            # 1) rotate the face's own sticker grid by 90 degrees
+            for i in range(n):
+                for j in range(n):
+                    if sign == 1:
+                        src = (n - 1 - j, i)
+                    else:
+                        src = (j, n - 1 - i)
+                    perm[flat(face, i, j)] = flat(face, *src)
+            # 2) cycle the adjacent border strips
+            adj = _ADJ_FACES[face]
+            for i, face_to in enumerate(adj):
+                face_from = adj[(i + sign) % 4]
+                cells_to = strips[face][face_to]
+                cells_from = strips[face][face_from]
+                for (rt, ct), (rf, cf) in zip(cells_to, cells_from):
+                    perm[flat(face_to, rt, ct)] = flat(face_from, rf, cf)
+            perms[2 * face + si] = perm
+    return perms
+
+
+class Cube3(Environment):
+    """3x3x3 Rubik's cube (reference environments/cube3.py)."""
+
+    name = "cube3"
+
+    def __init__(self, cube_len: int = 3):
+        self.cube_len = cube_len
+        n2 = cube_len * cube_len
+        self.state_width = 6 * n2
+        self.num_actions = 12
+        self.dtype = np.uint8
+        self.one_hot_depth = 6
+        self.encoded_width = self.state_width
+
+        self._perms_np = build_move_permutations(cube_len)
+        self._perms = jnp.asarray(self._perms_np)
+        self._goal_np = np.arange(self.state_width, dtype=np.uint8)
+        # reverse of (face, -1) is (face, +1): swap adjacent move pairs
+        rev = np.arange(12, dtype=np.int32)
+        rev = rev ^ 1
+        self._reverse = rev
+
+    # dynamics ---------------------------------------------------------- #
+
+    def step(self, states: jnp.ndarray, actions: jnp.ndarray) -> jnp.ndarray:
+        # gather each state's permutation row, then gather stickers
+        perm = self._perms[actions]  # (B, W)
+        return jnp.take_along_axis(states, perm, axis=1)
+
+    def expand(self, states: jnp.ndarray):
+        # one 3-D gather: (B, W) indexed by (A, W) -> (B, A, W)
+        children = states[:, self._perms]
+        tc = jnp.ones((states.shape[0], self.num_actions), dtype=jnp.float32)
+        return children, tc
+
+    def is_solved(self, states: jnp.ndarray) -> jnp.ndarray:
+        goal = jnp.asarray(self._goal_np)
+        return jnp.all(states == goal[None, :], axis=1)
+
+    def goal_states(self, n: int) -> jnp.ndarray:
+        return jnp.broadcast_to(jnp.asarray(self._goal_np), (n, self.state_width))
+
+    @property
+    def reverse_action_map(self) -> np.ndarray:
+        return self._reverse
+
+    # network ----------------------------------------------------------- #
+
+    def encode(self, states: jnp.ndarray) -> jnp.ndarray:
+        # sticker id -> color id (reference cube3.py:77-85)
+        return (states // (self.cube_len * self.cube_len)).astype(jnp.int32)
+
+    @property
+    def nnet_config(self) -> dict:
+        # reference cube3.py:90-94
+        return dict(state_dim=self.state_width, one_hot_depth=6, h1_dim=5000,
+                    resnet_dim=1000, num_resnet_blocks=4, out_dim=1,
+                    batch_norm=True)
