@@ -135,8 +135,9 @@ class Environment(abc.ABC):
     # Scramble generation (training data)
     # ------------------------------------------------------------------ #
 
-    def generate_scrambles(self, key: jax.Array, n: int,
-                           back_max: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def generate_scrambles(self, key: jax.Array, n: int, back_max: int,
+                           depths: jnp.ndarray | None = None,
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """n scrambled states with per-state depth ~ U{0..back_max}.
 
         Replaces the reference's host-side subset-loop scramble generator
@@ -147,10 +148,14 @@ class Environment(abc.ABC):
         uniformly random (forward) moves from the goal samples the same
         distribution as the reference's reverse walk.
 
+        Pass `depths` (n,) to pin per-state scramble depths (used by the
+        bucketed GBFS eval, reference gbfs.py:130-141).
+
         Returns (states (n, W), depths (n,) int32).
         """
         k_depth, k_act = jax.random.split(key)
-        depths = jax.random.randint(k_depth, (n,), 0, back_max + 1)
+        if depths is None:
+            depths = jax.random.randint(k_depth, (n,), 0, back_max + 1)
         actions = jax.random.randint(k_act, (back_max, n), 0, self.num_actions)
         states0 = self.goal_states(n)
 

@@ -51,13 +51,16 @@ class Sokoban(Environment):
         self.encoded_width = 4 * n2
         # seed boards for hindsight generation: dict with uint8 arrays
         # agent (N,2), boxes (N,n2), walls (N,n2), goals (N,n2)
-        self._boards = boards
+        self._boards = None
+        if boards is not None:
+            self.set_boards(boards)
         self._reverse = np.array([1, 0, 3, 2], dtype=np.int32)
 
     # ------------------------------------------------------------------ #
 
     def set_boards(self, boards: dict) -> None:
-        self._boards = boards
+        # device-resident so board gathers trace under jit
+        self._boards = {k: jnp.asarray(v, jnp.uint8) for k, v in boards.items()}
 
     def pack(self, agent, boxes, walls, goals) -> jnp.ndarray:
         return jnp.concatenate(
@@ -145,13 +148,16 @@ class Sokoban(Environment):
     # hindsight state generation ---------------------------------------- #
 
     def _random_walk(self, key: jax.Array, states: jnp.ndarray,
-                     step_range: Tuple[int, int]) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     step_range: Tuple[int, int],
+                     depths: jnp.ndarray | None = None,
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Walk each state an independent uniform number of steps in
         [lo, hi]; jitted scan over hi steps with per-state live masks."""
         lo, hi = int(step_range[0]), int(step_range[1])
         n = states.shape[0]
         k_depth, k_act = jax.random.split(key)
-        depths = jax.random.randint(k_depth, (n,), lo, hi + 1)
+        if depths is None:
+            depths = jax.random.randint(k_depth, (n,), lo, hi + 1)
         actions = jax.random.randint(k_act, (hi, n), 0, self.num_actions)
 
         def body(carry, inp):
@@ -164,8 +170,9 @@ class Sokoban(Environment):
         (out, _), _ = jax.lax.scan(body, (states, 0), actions)
         return out, depths
 
-    def generate_scrambles(self, key: jax.Array, n: int,
-                           back_max: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def generate_scrambles(self, key: jax.Array, n: int, back_max: int,
+                           depths: jnp.ndarray | None = None,
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Hindsight training states (reference sokoban.py:163-180):
         seed -> walk (1,100) -> walk (0,back_max) -> relabel goals."""
         if self._boards is None:
@@ -178,7 +185,8 @@ class Sokoban(Environment):
                           self._boards["walls"][idxs],
                           self._boards["goals"][idxs])
         starts, _ = self._random_walk(k_w1, seeds, (1, 100))
-        finals, depths = self._random_walk(k_w2, starts, (0, back_max))
+        finals, depths = self._random_walk(k_w2, starts, (0, back_max),
+                                           depths=depths)
         _, final_boxes, _, _ = self.unpack(finals)
         agent, boxes, walls, _ = self.unpack(starts)
         states = jnp.concatenate([agent, boxes, walls, final_boxes], axis=1)

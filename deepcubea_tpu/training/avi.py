@@ -1,0 +1,258 @@
+"""Deep Approximate Value Iteration (DAVI), device-resident and streaming.
+
+The reference's AVI round trip (ctg_approx/avi.py:176-257) is:
+  spawn per-GPU heuristic server processes on the frozen TARGET net ->
+  30-50 worker processes generate 50M scrambled states and label them with
+  one-step Bellman backups through queue RPC (updaters/updater.py) ->
+  train the CURRENT net over the materialized dataset (nnet_utils.py:53-118)
+  -> eval with GBFS -> if loss < thresh, copy current/ over target/.
+
+On TPU all of that is ONE jitted program per training iteration: scramble
+generation (lax.scan), child expansion, target-net Bellman labeling and the
+Adam step fuse on-device; the heuristic "service", the worker pool, the
+queues and the file-copy parameter server disappear. Labels stream — each
+iteration generates and labels its own fresh batch with the same frozen
+target, which is the same fixed-point iteration with strictly fresher data
+(the reference reuses each 50M-state set for ~one epoch, avi.py:227).
+
+Semantics preserved from the reference:
+  - labels y = min_a(tc + max(h_target(child), 0)) * (1 - solved(state))
+    (search_utils.py:16-32; clip_zero=True serving, avi.py:209-215)
+  - all-zero target before the first target swap (avi.py:207-208)
+  - k-step GBFS exploration labeling every visited state, with
+    k = min(update_num + 1, max_update_steps) and the state budget divided
+    by k (avi.py:131-132, updater.py:11-33)
+  - lr schedule lr * lr_d^itr by GLOBAL iteration (nnet_utils.py:74-76)
+  - fresh Adam state per update phase (nnet_utils.py:58)
+  - itrs per update = epochs_per_update * ceil(states_per_update /
+    batch_size) (avi.py:227)
+  - target swap gated on last training loss < loss_thresh (avi.py:250-255)
+  - GBFS eval after every update with max_solve_steps = min(update_num + 1,
+    back_max) (avi.py:240-242)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..envs.base import Environment
+from ..models.resnet import (ResnetValueNet, build_model, forward_train,
+                             init_variables)
+from .gbfs import bellman_backup, gbfs_run, gbfs_test
+
+
+@dataclasses.dataclass(frozen=True)
+class AVIConfig:
+    """Training hyperparameters (defaults = reference argparse defaults,
+    ctg_approx/avi.py:21-118)."""
+    back_max: int
+    batch_size: int = 1000
+    lr: float = 1e-3
+    lr_d: float = 0.9999993
+    max_itrs: int = 1_000_000
+    loss_thresh: float = 0.05
+    states_per_update: int = 1000
+    epochs_per_update: int = 1
+    max_update_steps: int = 1
+    update_method: str = "gbfs"
+    eps_max: float = 0.0
+    num_test: int = 1000
+    log_every: int = 100
+
+
+class TrainState(NamedTuple):
+    params: dict
+    batch_stats: dict
+    opt_state: tuple
+    itr: jnp.ndarray  # () int32 global iteration
+
+
+def _adam():
+    # torch.optim.Adam defaults (betas 0.9/0.999, eps 1e-8), matching the
+    # reference (nnet_utils.py:58); lr is applied manually per step so the
+    # global-iteration decay survives per-update optimizer resets.
+    return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+
+
+def make_train_chunk(env: Environment, model: ResnetValueNet, cfg: AVIConfig,
+                     num_steps: int, all_zeros: bool, chunk_len: int):
+    """A jitted scan of `chunk_len` streaming AVI iterations.
+
+    Each iteration: generate fresh scrambles -> label with the frozen target
+    (Bellman backup, or the k-step GBFS explorer for num_steps > 1) -> one
+    Adam step on the current net. Returns (new_state, per-iter losses).
+    """
+    tx = _adam()
+    n_gen = max(1, math.ceil(cfg.batch_size / num_steps))
+
+    def one_iter(state: TrainState, target, key):
+        target_params, target_stats = target
+        k_gen, k_run = jax.random.split(key)
+        states, _ = env.generate_scrambles(k_gen, n_gen, cfg.back_max)
+
+        if num_steps == 1:
+            if all_zeros:
+                # pre-first-target labels: h == 0 (nnet_utils.py:271-272)
+                solved = env.is_solved(states)
+                y = 1.0 - solved.astype(jnp.float32)
+            else:
+                y, _, _ = bellman_backup(env, model, target_params,
+                                         target_stats, states, clip_zero=True)
+            xs, weights = states, jnp.ones((n_gen,), jnp.float32)
+        else:
+            k_eps, k_gbfs = jax.random.split(k_run)
+            eps = jax.random.uniform(k_eps, (n_gen,)) * cfg.eps_max
+            res = gbfs_run(env, model, target_params, target_stats, states,
+                           eps, k_gbfs, num_steps)
+            xs = res.traj_states.reshape(-1, env.state_width)
+            y = res.traj_ctg.reshape(-1)
+            weights = res.traj_valid.reshape(-1).astype(jnp.float32)
+
+        def loss_fn(params):
+            out, new_stats = forward_train(model, params, state.batch_stats,
+                                           env.encode(xs))
+            err = (out - y) ** 2
+            loss = jnp.sum(err * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+            return loss, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        lr = cfg.lr * cfg.lr_d ** state.itr.astype(jnp.float32)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_stats, new_opt, state.itr + 1), loss
+
+    @jax.jit
+    def chunk(state: TrainState, target_params, target_stats, key):
+        keys = jax.random.split(key, chunk_len)
+        return jax.lax.scan(
+            lambda s, k: one_iter(s, (target_params, target_stats), k),
+            state, keys)
+
+    return chunk
+
+
+class AVITrainer:
+    """Host-side orchestration of update phases, eval, checkpoints and the
+    target swap. The per-iteration work is entirely on device."""
+
+    def __init__(self, env: Environment, cfg: AVIConfig,
+                 seed: int = 0, model: Optional[ResnetValueNet] = None,
+                 log=print):
+        self.env = env
+        self.cfg = cfg
+        self.log = log
+        self.model = model or build_model(env.nnet_config)
+        self.key = jax.random.PRNGKey(seed)
+
+        self.key, k_init = jax.random.split(self.key)
+        example = env.encode(self._example_states())
+        params, batch_stats = init_variables(self.model, k_init, example)
+        self.state = TrainState(params, batch_stats, _adam().init(params),
+                                jnp.zeros((), jnp.int32))
+        self.target_params = None
+        self.target_stats = None
+        self.update_num = 0
+        self._chunk_cache = {}
+        self.last_loss = float("inf")
+
+    def _example_states(self):
+        if hasattr(self.env, "goal_states"):
+            try:
+                return self.env.goal_states(2)
+            except NotImplementedError:
+                pass
+        s, _ = self.env.generate_scrambles(jax.random.PRNGKey(0), 2, 1)
+        return s
+
+    # ------------------------------------------------------------------ #
+
+    @property
+    def itr(self) -> int:
+        return int(self.state.itr)
+
+    def _get_chunk(self, num_steps: int, all_zeros: bool, chunk_len: int):
+        key = (num_steps, all_zeros, chunk_len)
+        if key not in self._chunk_cache:
+            self._chunk_cache[key] = make_train_chunk(
+                self.env, self.model, self.cfg, num_steps, all_zeros, chunk_len)
+        return self._chunk_cache[key]
+
+    def run_update(self) -> float:
+        """One AVI update phase; returns the final training loss."""
+        cfg = self.cfg
+        all_zeros = self.target_params is None
+        num_steps = min(self.update_num + 1, cfg.max_update_steps)
+        itrs = int(cfg.epochs_per_update *
+                   math.ceil(cfg.states_per_update / cfg.batch_size))
+        self.log(f"Update {self.update_num}: {itrs} iterations, "
+                 f"explore_steps={num_steps}, all_zeros={all_zeros}")
+
+        # fresh optimizer per update (reference nnet_utils.py:58)
+        self.state = self.state._replace(opt_state=_adam().init(self.state.params))
+
+        target = (self.target_params if not all_zeros else self.state.params,
+                  self.target_stats if not all_zeros else self.state.batch_stats)
+
+        done = 0
+        t0 = time.time()
+        last_loss = float("nan")
+        while done < itrs:
+            chunk_len = min(cfg.log_every, itrs - done)
+            chunk = self._get_chunk(num_steps, all_zeros, chunk_len)
+            self.key, k = jax.random.split(self.key)
+            self.state, losses = chunk(self.state, *target, k)
+            done += chunk_len
+            last_loss = float(losses[-1])
+            dt = time.time() - t0
+            states_s = done * cfg.batch_size / max(dt, 1e-9)
+            self.log(f"Itr: {self.itr}, loss: {float(losses.mean()):.5f} "
+                     f"(last {last_loss:.5f}), lr: "
+                     f"{cfg.lr * cfg.lr_d ** self.itr:.2E}, "
+                     f"states/s: {states_s:,.0f}")
+        self.last_loss = last_loss
+        return last_loss
+
+    def maybe_swap_target(self) -> bool:
+        """Target swap = rebinding a pytree of device arrays (vs. the
+        reference's directory copy, avi.py:121-126, 250-255)."""
+        if self.last_loss < self.cfg.loss_thresh:
+            self.log("Updating target network")
+            self.target_params = self.state.params
+            self.target_stats = self.state.batch_stats
+            self.update_num += 1
+            return True
+        return False
+
+    def evaluate(self) -> dict:
+        self.key, k = jax.random.split(self.key)
+        max_steps = min(self.update_num + 1, self.cfg.back_max)
+        t0 = time.time()
+        stats = gbfs_test(self.env, self.model, self.state.params,
+                          self.state.batch_stats, self.cfg.num_test,
+                          self.cfg.back_max, k, max_solve_steps=max_steps,
+                          log=self.log)
+        self.log(f"Test time: {time.time() - t0:.2f}")
+        return stats
+
+    def train(self, max_itrs: Optional[int] = None,
+              on_update_end=None) -> None:
+        max_itrs = max_itrs if max_itrs is not None else self.cfg.max_itrs
+        while self.itr < max_itrs:
+            loss = self.run_update()
+            self.evaluate()
+            self.log(f"Last loss was {loss:f}")
+            self.maybe_swap_target()
+            if on_update_end is not None:
+                on_update_end(self)
+        self.log("Done")
