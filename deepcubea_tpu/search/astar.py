@@ -1,0 +1,332 @@
+"""Batch Weighted A* (BWAS), resident on the accelerator.
+
+This one module replaces BOTH reference search engines:
+  - the Python multi-instance A* (search_methods/astar.py:18-341): heapq
+    open lists, Dict closed sets, Node objects, one NN call per step;
+  - the C++ binary + Unix-socket heuristic bridge
+    (cpp/parallel_weighted_astar.cpp, astar.py:457-637): OpenMP expansion
+    on host, every iteration shipping batch*num_actions*state_dim bytes
+    through the kernel to per-GPU server processes.
+
+Design (SURVEY.md §7.6): per instance, a fixed-capacity device node pool
+(states, g, f, parent, action) doubles as the open list — f = +inf marks
+"not in open"; popping the best B nodes is a top-k over f instead of a heap
+(the spec is "pop the B lowest-cost nodes", astar.py:69-76; FIFO tie-breaks
+are not reproduced). The closed set is the double-hashed fingerprint table
+of `hashtable.py` with the reopen-if-cheaper rule (astar.py:78-90). One
+search iteration — pop, expand, heuristic, dedup, push — is a single jitted
+program; the NN heuristic evaluates in the same program with zero IPC.
+Many instances run in lockstep as a leading batch axis (the reference solves
+test states sequentially, astar.py:416).
+
+Costs: f = w * g + h * (1 - solved) (astar.py:196; cpp:292-306). Termination
+follows the C++ batch rule — keep searching until the cheapest popped f is
+no better than the best goal found (cpp:184-208) — or optionally the Python
+rule of stopping at the first goal (astar.py:421-423).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..envs.base import Environment, fingerprint, fingerprint_constants
+from ..models.resnet import ResnetValueNet
+from ..training.heuristic import heuristic_values
+from .hashtable import HashTable, ht_insert, ht_lookup, ht_new
+
+INF_F = jnp.float32(jnp.inf)
+
+
+@dataclasses.dataclass(frozen=True)
+class AStarConfig:
+    weight: float = 1.0           # per-run default; per-instance override in init
+    batch_size: int = 1000        # nodes popped per instance per iteration
+    pool_capacity: int = 1 << 20  # node pool slots per instance
+    table_capacity: int = 1 << 21 # closed-table slots per instance (2x pool)
+    max_probes: int = 16
+    first_goal: bool = False      # True = Python semantics (stop at first goal)
+    approx_pop: bool = False      # use approx top-k (faster on TPU, ~same quality)
+    max_path_len: int = 512
+
+
+class SearchState(NamedTuple):
+    states: jnp.ndarray   # (I, C, W) uint8
+    g: jnp.ndarray        # (I, C) int32
+    f: jnp.ndarray        # (I, C) f32; +inf = not in open
+    parent: jnp.ndarray   # (I, C) int32 pool slot of parent, -1 for root
+    action: jnp.ndarray   # (I, C) int32 action from parent, -1 for root
+    size: jnp.ndarray     # (I,) int32 allocated nodes
+    tbl: HashTable        # (I, H) arrays
+    weight: jnp.ndarray   # (I,) f32
+    goal_id: jnp.ndarray  # (I,) int32, -1 until found
+    goal_f: jnp.ndarray   # (I,) f32, +inf until found
+    done: jnp.ndarray     # (I,) bool
+    num_generated: jnp.ndarray  # (I,) int64-ish int32 counts
+    pool_dropped: jnp.ndarray   # (I,) int32 children lost to pool overflow
+    tbl_overflow: jnp.ndarray   # (I,) int32 closed-table probe exhaustions
+
+
+def _fp_consts(env: Environment) -> np.ndarray:
+    return fingerprint_constants(env.state_width)
+
+
+def astar_init(env: Environment, cfg: AStarConfig,
+               roots: jnp.ndarray,
+               weights: Optional[jnp.ndarray] = None) -> SearchState:
+    """Build the initial search state for I root states (I, W)."""
+    i = roots.shape[0]
+    c, h, w = cfg.pool_capacity, cfg.table_capacity, env.state_width
+    if weights is None:
+        weights = jnp.full((i,), cfg.weight, jnp.float32)
+
+    states = jnp.zeros((i, c, w), roots.dtype).at[:, 0, :].set(roots)
+    g = jnp.zeros((i, c), jnp.int32)
+    f = jnp.full((i, c), INF_F).at[:, 0].set(0.0)  # root pops first
+    parent = jnp.full((i, c), -1, jnp.int32)
+    action = jnp.full((i, c), -1, jnp.int32)
+
+    from .hashtable import INF_G
+    tbl = HashTable(fp0=jnp.zeros((i, h), jnp.uint32),
+                    fp1=jnp.zeros((i, h), jnp.uint32),
+                    g=jnp.full((i, h), INF_G, jnp.int32))
+    consts = _fp_consts(env)
+    fp0, fp1 = fingerprint(roots, consts)
+    tbl, _, _ = jax.vmap(
+        lambda t, a, b: ht_insert(t, a[None], b[None],
+                                  jnp.zeros((1,), jnp.int32),
+                                  jnp.ones((1,), bool), cfg.max_probes)
+    )(tbl, fp0, fp1)
+
+    solved_root = env.is_solved(roots)
+    return SearchState(
+        states=states, g=g, f=f, parent=parent, action=action,
+        size=jnp.ones((i,), jnp.int32), tbl=tbl,
+        weight=jnp.asarray(weights, jnp.float32),
+        goal_id=jnp.where(solved_root, 0, -1).astype(jnp.int32),
+        goal_f=jnp.where(solved_root, 0.0, INF_F),
+        done=solved_root,
+        num_generated=jnp.zeros((i,), jnp.int32),
+        pool_dropped=jnp.zeros((i,), jnp.int32),
+        tbl_overflow=jnp.zeros((i,), jnp.int32),
+    )
+
+
+def make_astar_step(env: Environment, model: ResnetValueNet,
+                    cfg: AStarConfig):
+    """Compile one BWAS iteration over all instances."""
+    consts = _fp_consts(env)
+    b = cfg.batch_size
+    a = env.num_actions
+    w = env.state_width
+
+    @jax.jit
+    def step(s: SearchState, params, batch_stats) -> SearchState:
+        i, c = s.f.shape
+
+        # ---- pop the B best open nodes per instance (astar.py:69-76) ----
+        if cfg.approx_pop:
+            neg, pop_idx = jax.lax.approx_max_k(-s.f, b, recall_target=0.95)
+        else:
+            neg, pop_idx = jax.lax.top_k(-s.f, b)
+        pop_f = -neg                                   # (I, B)
+        live = ~s.done
+        valid_pop = jnp.isfinite(pop_f) & live[:, None]
+        f_new = jnp.where(
+            jnp.zeros((i, c), bool).at[jnp.arange(i)[:, None], pop_idx].set(valid_pop),
+            INF_F, s.f)
+
+        rows = jnp.arange(i)[:, None]
+        pop_states = s.states[rows, pop_idx]           # (I, B, W)
+        pop_g = s.g[rows, pop_idx]                     # (I, B)
+
+        # ---- stale-pop rejection: a cheaper copy was already expanded ----
+        pfp0, pfp1 = fingerprint(pop_states.reshape(i * b, w), consts)
+        g_best = jax.vmap(partial(ht_lookup, max_probes=cfg.max_probes))(
+            s.tbl, pfp0.reshape(i, b), pfp1.reshape(i, b))
+        valid_pop &= pop_g <= g_best
+
+        min_pop_f = jnp.min(jnp.where(valid_pop, pop_f, INF_F), axis=1)
+
+        # ---- expand all children in one env call (astar.py:99-170) ------
+        flat_pop = pop_states.reshape(i * b, w)
+        children, _tc = env.expand(flat_pop)           # (I*B, A, W)
+        flat_ch = children.reshape(i * b * a, w)
+        child_g = jnp.broadcast_to((pop_g + 1)[:, :, None],
+                                   (i, b, a)).reshape(i, b * a)
+        valid_ch = jnp.repeat(valid_pop, a, axis=1)    # (I, B*A)
+
+        # ---- heuristic for every child in-program (vs. socket RPC) ------
+        h_vals = heuristic_values(env, model, params, batch_stats, flat_ch,
+                                  clip_zero=True)
+        solved = env.is_solved(flat_ch)
+        h_vals = h_vals.reshape(i, b * a)
+        solved = solved.reshape(i, b * a)
+        child_f = (s.weight[:, None] * child_g.astype(jnp.float32)
+                   + h_vals * (1.0 - solved.astype(jnp.float32)))
+
+        # ---- closed-set dedup + reopen (astar.py:78-90, cpp:243-265) ----
+        cfp0, cfp1 = fingerprint(flat_ch, consts)
+        tbl, accept, ovf = jax.vmap(
+            partial(ht_insert, max_probes=cfg.max_probes))(
+            s.tbl, cfp0.reshape(i, b * a), cfp1.reshape(i, b * a),
+            child_g, valid_ch)
+
+        # ---- allocate accepted children into the pool -------------------
+        offs = jnp.cumsum(accept.astype(jnp.int32), axis=1) - 1
+        dest = s.size[:, None] + offs                  # (I, B*A)
+        fits = dest < c
+        put = accept & fits
+        dropped = jnp.sum((accept & ~fits).astype(jnp.int32), axis=1)
+        dest_safe = jnp.where(put, dest, c)            # c = out-of-bounds drop
+
+        ch_states = flat_ch.reshape(i, b * a, w)
+        parent_slot = jnp.repeat(pop_idx, a, axis=1)
+        act_ids = jnp.tile(jnp.arange(a, dtype=jnp.int32), b)[None, :]
+
+        def scatter(pool, vals):
+            return jax.vmap(lambda p, d, v: p.at[d].set(v, mode="drop"))(
+                pool, dest_safe, vals)
+
+        states_new = scatter(s.states, ch_states)
+        g_new = scatter(s.g, child_g)
+        parent_new = scatter(s.parent, parent_slot)
+        action_new = scatter(s.action, jnp.broadcast_to(act_ids, (i, b * a)))
+        # solved children are terminal: never re-expanded (goal tracked below)
+        open_f = jnp.where(solved, INF_F, child_f)
+        f_new = scatter(f_new, open_f)
+        size_new = s.size + jnp.sum(put.astype(jnp.int32), axis=1)
+
+        # ---- goal tracking ----------------------------------------------
+        goal_cand = solved & put
+        cand_f = jnp.where(goal_cand, child_f, INF_F)
+        best_j = jnp.argmin(cand_f, axis=1)
+        best_f = cand_f[jnp.arange(i), best_j]
+        improves = best_f < s.goal_f
+        goal_f = jnp.where(improves, best_f, s.goal_f)
+        goal_id = jnp.where(improves, dest[jnp.arange(i), best_j], s.goal_id)
+
+        # ---- termination ---------------------------------------------------
+        # C++ batch rule (cpp:184-208): the cheapest node left to expand can
+        # no longer beat the best goal. Python rule: first goal found.
+        exhausted = ~jnp.isfinite(min_pop_f)           # open list empty
+        if cfg.first_goal:
+            done = s.done | jnp.isfinite(goal_f) | exhausted
+        else:
+            done = s.done | (min_pop_f >= goal_f) | exhausted
+
+        return SearchState(
+            states=states_new, g=g_new, f=f_new, parent=parent_new,
+            action=action_new, size=size_new, tbl=tbl, weight=s.weight,
+            goal_id=goal_id, goal_f=goal_f, done=done,
+            num_generated=s.num_generated + jnp.where(live, b * a, 0),
+            pool_dropped=s.pool_dropped + dropped,
+            tbl_overflow=s.tbl_overflow + jnp.where(live, ovf, 0),
+        )
+
+    return step
+
+
+def make_path_extractor(cfg: AStarConfig):
+    """Walk parent pointers on device (astar.py:213-229), newest-first."""
+
+    @jax.jit
+    def extract(s: SearchState) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        def one(parent, action, goal_id):
+            def body(carry, _):
+                nid = carry
+                ok = nid >= 0
+                act = jnp.where(ok, action[nid], -1)
+                nxt = jnp.where(ok, parent[nid], -1)
+                return nxt, act
+
+            _, acts = jax.lax.scan(body, goal_id, None,
+                                   length=cfg.max_path_len)
+            return acts  # goal-to-root order, -1 padded (root action = -1)
+
+        acts = jax.vmap(one)(s.parent, s.action, s.goal_id)
+        lengths = jnp.sum((acts >= 0).astype(jnp.int32), axis=1)
+        return acts, lengths
+
+    return extract
+
+
+class SolveResult(NamedTuple):
+    solutions: List[Optional[List[int]]]  # move sequences root -> goal
+    path_costs: np.ndarray                # (I,) solution lengths (unit costs)
+    num_generated: np.ndarray             # (I,)
+    search_iters: int
+    time_s: float
+    pool_dropped: np.ndarray
+    tbl_overflow: np.ndarray
+
+
+class BatchWeightedAStar:
+    """Host driver: repeatedly dispatch the jitted step until every instance
+    terminates, then reconstruct paths on device.
+
+    The only host<->device traffic per iteration is the (I,) done vector;
+    compare the reference C++ path which serializes every child state over a
+    Unix socket each iteration (cpp:236-237, astar.py:579-616).
+    """
+
+    def __init__(self, env: Environment, model: ResnetValueNet, params,
+                 batch_stats, cfg: AStarConfig):
+        self.env = env
+        self.model = model
+        self.params = params
+        self.batch_stats = batch_stats
+        self.cfg = cfg
+        self._step = make_astar_step(env, model, cfg)
+        self._extract = make_path_extractor(cfg)
+
+    def solve(self, roots: jnp.ndarray,
+              weights: Optional[np.ndarray] = None,
+              max_iters: int = 100_000,
+              check_every: int = 1,
+              verbose: bool = False,
+              log=print) -> SolveResult:
+        t0 = time.time()
+        state = astar_init(self.env, self.cfg, roots,
+                           None if weights is None else jnp.asarray(weights))
+        iters = 0
+        while iters < max_iters:
+            for _ in range(check_every):
+                state = self._step(state, self.params, self.batch_stats)
+                iters += 1
+            done = np.asarray(state.done)
+            if verbose:
+                log(f"itr {iters}: done {int(done.sum())}/{done.size}, "
+                    f"nodes {int(np.asarray(state.size).max()):,}")
+            if done.all():
+                break
+
+        acts, lengths = self._extract(state)
+        acts_np = np.asarray(acts)
+        lengths_np = np.asarray(lengths)
+        goal_found = np.asarray(state.goal_id) >= 0
+
+        solutions: List[Optional[List[int]]] = []
+        for idx in range(acts_np.shape[0]):
+            if not goal_found[idx]:
+                solutions.append(None)
+                continue
+            seq = [int(x) for x in acts_np[idx] if x >= 0]
+            seq.reverse()  # root -> goal
+            solutions.append(seq)
+
+        return SolveResult(
+            solutions=solutions,
+            path_costs=lengths_np.astype(np.int64),
+            num_generated=np.asarray(state.num_generated).astype(np.int64),
+            search_iters=iters,
+            time_s=time.time() - t0,
+            pool_dropped=np.asarray(state.pool_dropped),
+            tbl_overflow=np.asarray(state.tbl_overflow),
+        )

@@ -1,0 +1,164 @@
+"""Device-resident open-addressing hash table for the A* closed set.
+
+Replaces the reference's host hash containers — the Python
+`closed_dict: Dict[State, path_cost]` with reopen-if-cheaper
+(search_methods/astar.py:55, 78-90) and the C++ `unordered_set` over raw
+state bytes (cpp/parallel_weighted_astar.cpp:104-111, 243-265) — with a
+fixed-capacity double-hashed table of two 32-bit state fingerprints plus the
+best known path cost, living entirely in HBM and updated by batched scatters
+inside the jitted search step.
+
+Keys are (fp0, fp1) uint32 pairs from `envs.base.fingerprint` (~2^-64
+pairwise collision odds; TPUs run x32 so a single 64-bit key is out).
+(0, 0) is the empty marker; real keys hitting it are remapped to (1, 1).
+
+Batched insertion is contention-free by construction:
+  1. intra-batch dedup keeps the min-cost entry per distinct key
+     (sort + first-occurrence mask);
+  2. each probe round resolves same-slot collisions batch-side (sort of the
+     slot vector + first-occurrence mask) so every table write in a round
+     targets a unique slot — no O(table) claim buffers, no atomics;
+  3. losers advance along their double-hash probe sequence next round.
+Entries still unplaced after `max_probes` rounds are accepted WITHOUT
+insertion (they may be re-expanded later; correctness is unaffected) and
+counted in the overflow statistic.
+
+All functions are single-instance; the search layer vmaps them over the
+instance axis.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+INF_G = jnp.int32(0x7FFFFFFF)
+
+
+class HashTable(NamedTuple):
+    fp0: jnp.ndarray  # (H,) uint32, 0 = empty (together with fp1)
+    fp1: jnp.ndarray  # (H,) uint32
+    g: jnp.ndarray    # (H,) int32 best known path cost
+
+
+def ht_new(capacity: int) -> HashTable:
+    assert capacity & (capacity - 1) == 0, "capacity must be a power of 2"
+    return HashTable(
+        fp0=jnp.zeros((capacity,), jnp.uint32),
+        fp1=jnp.zeros((capacity,), jnp.uint32),
+        g=jnp.full((capacity,), INF_G, jnp.int32),
+    )
+
+
+def _remap_empty(fp0: jnp.ndarray, fp1: jnp.ndarray):
+    is_empty_key = (fp0 == 0) & (fp1 == 0)
+    return (jnp.where(is_empty_key, jnp.uint32(1), fp0),
+            jnp.where(is_empty_key, jnp.uint32(1), fp1))
+
+
+def _slot(fp0: jnp.ndarray, fp1: jnp.ndarray, probe, mask: int) -> jnp.ndarray:
+    # double hashing: step = fp1 | 1 is odd, so the probe sequence visits
+    # every slot of the power-of-2 table
+    step = fp1 | jnp.uint32(1)
+    return ((fp0 + jnp.uint32(probe) * step) & jnp.uint32(mask)).astype(jnp.int32)
+
+
+def _first_of_group(keys0, keys1) -> jnp.ndarray:
+    """Given sorted key columns, mark the first row of each distinct key."""
+    neq = (keys0[1:] != keys0[:-1]) | (keys1[1:] != keys1[:-1])
+    return jnp.concatenate([jnp.ones((1,), bool), neq])
+
+
+def ht_insert(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,
+              g: jnp.ndarray, valid: jnp.ndarray, max_probes: int = 16,
+              ) -> Tuple[HashTable, jnp.ndarray, jnp.ndarray]:
+    """Insert a batch of keys with costs; returns (table, accept, overflow).
+
+    accept[i] is True iff entry i is new or strictly cheaper than the
+    table's best known cost for its key (the reopen rule of
+    astar.py:78-90 / cpp:243-265). overflow counts entries accepted without
+    insertion after probe exhaustion.
+    """
+    n = fp0.shape[0]
+    h = tbl.fp0.shape[0]
+    mask = h - 1
+    idx = jnp.arange(n)
+
+    fp0, fp1 = _remap_empty(fp0, fp1)
+    # invalid entries form their own (0,0) group and never win
+    fp0 = jnp.where(valid, fp0, jnp.uint32(0))
+    fp1 = jnp.where(valid, fp1, jnp.uint32(0))
+
+    # --- intra-batch dedup: min-g first occurrence per key ---------------
+    order = jnp.lexsort((g, fp1, fp0))
+    sf0, sf1, sv = fp0[order], fp1[order], valid[order]
+    first = _first_of_group(sf0, sf1) & sv
+    winner = jnp.zeros((n,), bool).at[order].set(first)
+
+    def probe_round(p, carry):
+        t_fp0, t_fp1, t_g, accept, done = carry
+        active = ~done
+        slot = _slot(fp0, fp1, p, mask)
+        t0, t1, tg = t_fp0[slot], t_fp1[slot], t_g[slot]
+
+        empty = active & (t0 == 0) & (t1 == 0)
+        match = active & (t0 == fp0) & (t1 == fp1)
+
+        # matches: strictly cheaper reopens (scatter-min the cost)
+        cheaper = match & (g < tg)
+        min_slots = jnp.where(cheaper, slot, h)
+        t_g = t_g.at[min_slots].min(g, mode="drop")
+        accept = accept | cheaper
+        done = done | match
+
+        # empties: resolve same-slot contention batch-side, winners write
+        slot_key = jnp.where(empty, slot, h).astype(jnp.int32)
+        s_order = jnp.argsort(slot_key)
+        s_first = jnp.concatenate(
+            [jnp.ones((1,), bool), slot_key[s_order][1:] != slot_key[s_order][:-1]])
+        slot_winner = jnp.zeros((n,), bool).at[s_order].set(s_first) & empty
+
+        w_slots = jnp.where(slot_winner, slot, h)
+        t_fp0 = t_fp0.at[w_slots].set(fp0, mode="drop")
+        t_fp1 = t_fp1.at[w_slots].set(fp1, mode="drop")
+        t_g = t_g.at[w_slots].set(g, mode="drop")
+        accept = accept | slot_winner
+        done = done | slot_winner
+        return t_fp0, t_fp1, t_g, accept, done
+
+    init = (tbl.fp0, tbl.fp1, tbl.g,
+            jnp.zeros((n,), bool), ~winner)
+    t_fp0, t_fp1, t_g, accept, done = jax.lax.fori_loop(
+        0, max_probes, probe_round, init)
+
+    # probe exhaustion: accept without insertion (safe, counts as overflow)
+    leftover = ~done
+    accept = accept | leftover
+    overflow = jnp.sum(leftover.astype(jnp.int32))
+    return HashTable(t_fp0, t_fp1, t_g), accept, overflow
+
+
+def ht_lookup(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,
+              max_probes: int = 16) -> jnp.ndarray:
+    """Best known cost per key, INF_G if absent (read-only, no sorts)."""
+    h = tbl.fp0.shape[0]
+    mask = h - 1
+    fp0, fp1 = _remap_empty(fp0, fp1)
+    n = fp0.shape[0]
+
+    def probe_round(p, carry):
+        best, done = carry
+        slot = _slot(fp0, fp1, p, mask)
+        t0, t1, tg = tbl.fp0[slot], tbl.fp1[slot], tbl.g[slot]
+        match = ~done & (t0 == fp0) & (t1 == fp1)
+        empty = (t0 == 0) & (t1 == 0)
+        best = jnp.where(match, tg, best)
+        done = done | match | empty
+        return best, done
+
+    best, _ = jax.lax.fori_loop(
+        0, max_probes, probe_round,
+        (jnp.full((n,), INF_G, jnp.int32), jnp.zeros((n,), bool)))
+    return best

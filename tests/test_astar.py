@@ -1,0 +1,142 @@
+"""Device BWAS: optimality vs brute-force BFS with a zero heuristic
+(weight 1 => Dijkstra), replay validation, multi-instance batching,
+termination modes. Oracle strategy per SURVEY.md §4."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepcubea_tpu.envs import LightsOut, NPuzzle
+from deepcubea_tpu.models import build_model, init_variables
+from deepcubea_tpu.search import AStarConfig, BatchWeightedAStar
+from deepcubea_tpu.utils import bfs_distances, is_valid_solution
+
+
+def zero_heuristic_model(env):
+    """A real net whose output layer is zeroed: h(s) == 0 exactly, so
+    weight-1 BWAS is uniform-cost search and must return optimal paths."""
+    cfg = dict(env.nnet_config)
+    cfg.update(h1_dim=16, resnet_dim=16, num_resnet_blocks=1)
+    model = build_model(cfg)
+    params, stats = init_variables(
+        model, jax.random.PRNGKey(0),
+        env.encode(jnp.zeros((2, env.state_width), jnp.uint8)))
+    params = jax.tree_util.tree_map(lambda p: p, params)
+    params["fc_out"]["kernel"] = jnp.zeros_like(params["fc_out"]["kernel"])
+    params["fc_out"]["bias"] = jnp.zeros_like(params["fc_out"]["bias"])
+    return model, params, stats
+
+
+@pytest.fixture(scope="module")
+def lo2():
+    env = LightsOut(2)  # 16 states, 4 actions
+    model, params, stats = zero_heuristic_model(env)
+    return env, model, params, stats
+
+
+@pytest.fixture(scope="module")
+def np2():
+    env = NPuzzle(2)  # 12 reachable states
+    model, params, stats = zero_heuristic_model(env)
+    return env, model, params, stats
+
+
+def all_states_with_dists(env):
+    dist = bfs_distances(env)
+    states, ds = [], []
+    for key, d in dist.items():
+        states.append(np.frombuffer(key, dtype=np.uint8))
+        ds.append(d)
+    return np.stack(states), np.array(ds)
+
+
+@pytest.mark.parametrize("fixture_name", ["lo2", "np2"])
+def test_optimal_solutions_vs_bfs(fixture_name, request):
+    env, model, params, stats = request.getfixturevalue(fixture_name)
+    states, dists = all_states_with_dists(env)
+
+    cfg = AStarConfig(weight=1.0, batch_size=4, pool_capacity=1 << 10,
+                      table_capacity=1 << 11, max_path_len=32)
+    solver = BatchWeightedAStar(env, model, params, stats, cfg)
+    res = solver.solve(jnp.asarray(states), max_iters=200)
+
+    for i in range(states.shape[0]):
+        assert res.solutions[i] is not None, f"instance {i} unsolved"
+        assert len(res.solutions[i]) == dists[i], (
+            f"instance {i}: got {len(res.solutions[i])}, optimal {dists[i]}")
+        assert is_valid_solution(env, states[i], res.solutions[i])
+
+
+def test_first_goal_mode_solves(lo2):
+    env, model, params, stats = lo2
+    states, dists = all_states_with_dists(env)
+    cfg = AStarConfig(weight=1.0, batch_size=4, pool_capacity=1 << 10,
+                      table_capacity=1 << 11, first_goal=True, max_path_len=32)
+    solver = BatchWeightedAStar(env, model, params, stats, cfg)
+    res = solver.solve(jnp.asarray(states), max_iters=200)
+    for i in range(states.shape[0]):
+        assert res.solutions[i] is not None
+        assert is_valid_solution(env, states[i], res.solutions[i])
+        # first-goal may be suboptimal but never better than optimal
+        assert len(res.solutions[i]) >= dists[i]
+
+
+def test_solved_root_short_circuits(lo2):
+    env, model, params, stats = lo2
+    cfg = AStarConfig(weight=1.0, batch_size=2, pool_capacity=256,
+                      table_capacity=512, max_path_len=16)
+    solver = BatchWeightedAStar(env, model, params, stats, cfg)
+    res = solver.solve(env.goal_states(3), max_iters=10)
+    for sol in res.solutions:
+        assert sol == []
+
+
+def test_mixed_weights_batch(lo2):
+    env, model, params, stats = lo2
+    states, dists = all_states_with_dists(env)
+    k = min(6, states.shape[0])
+    cfg = AStarConfig(batch_size=4, pool_capacity=1 << 10,
+                      table_capacity=1 << 11, max_path_len=32)
+    solver = BatchWeightedAStar(env, model, params, stats, cfg)
+    weights = np.linspace(0.2, 1.0, k)
+    res = solver.solve(jnp.asarray(states[:k]), weights=weights,
+                       max_iters=200)
+    for i in range(k):
+        assert res.solutions[i] is not None
+        assert is_valid_solution(env, states[i], res.solutions[i])
+
+
+def test_node_accounting(lo2):
+    env, model, params, stats = lo2
+    states, _ = all_states_with_dists(env)
+    cfg = AStarConfig(weight=1.0, batch_size=4, pool_capacity=1 << 10,
+                      table_capacity=1 << 11, max_path_len=32)
+    solver = BatchWeightedAStar(env, model, params, stats, cfg)
+    res = solver.solve(jnp.asarray(states[:4]), max_iters=200)
+    solved_at_root = np.asarray(env.is_solved(jnp.asarray(states[:4])))
+    assert (res.num_generated[~solved_at_root] > 0).all()
+    assert (res.num_generated[solved_at_root] == 0).all()
+    assert (res.pool_dropped == 0).all()
+    # whole space is 16 states; dedup must keep generation bounded
+    assert res.num_generated.max() <= 16 * 4 * cfg.batch_size
+
+
+def test_learned_heuristic_still_valid():
+    """With an arbitrary (untrained, inadmissible) heuristic, solutions may
+    be suboptimal but must still be valid paths to the goal."""
+    env = LightsOut(3)
+    cfg_model = dict(env.nnet_config)
+    cfg_model.update(h1_dim=32, resnet_dim=16, num_resnet_blocks=1)
+    model = build_model(cfg_model)
+    params, stats = init_variables(model, jax.random.PRNGKey(7),
+                                   env.encode(env.goal_states(2)))
+    states, _ = env.generate_scrambles(jax.random.PRNGKey(8), 8, 4)
+    cfg = AStarConfig(weight=0.8, batch_size=16, pool_capacity=1 << 14,
+                      table_capacity=1 << 15, max_path_len=64)
+    solver = BatchWeightedAStar(env, model, params, stats, cfg)
+    res = solver.solve(states, max_iters=500)
+    states_np = np.asarray(states)
+    for i in range(8):
+        assert res.solutions[i] is not None
+        assert is_valid_solution(env, states_np[i], res.solutions[i])

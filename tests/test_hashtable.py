@@ -1,0 +1,108 @@
+"""Hash table: insert/lookup/reopen semantics, batch duplicates, collisions."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from deepcubea_tpu.search.hashtable import (INF_G, ht_insert, ht_lookup,
+                                            ht_new)
+
+
+def mk(n, seed=0):
+    rng = np.random.RandomState(seed)
+    fp0 = rng.randint(1, 2**31, size=n).astype(np.uint32)
+    fp1 = rng.randint(1, 2**31, size=n).astype(np.uint32)
+    return jnp.asarray(fp0), jnp.asarray(fp1)
+
+
+def test_insert_then_lookup():
+    tbl = ht_new(256)
+    fp0, fp1 = mk(32)
+    g = jnp.arange(32, dtype=jnp.int32)
+    tbl, accept, ovf = ht_insert(tbl, fp0, fp1, g, jnp.ones(32, bool))
+    assert np.asarray(accept).all()
+    assert int(ovf) == 0
+    got = ht_lookup(tbl, fp0, fp1)
+    np.testing.assert_array_equal(np.asarray(got), np.arange(32))
+
+
+def test_absent_lookup():
+    tbl = ht_new(64)
+    fp0, fp1 = mk(8)
+    got = ht_lookup(tbl, fp0, fp1)
+    assert (np.asarray(got) == int(INF_G)).all()
+
+
+def test_duplicate_insert_rejected():
+    tbl = ht_new(128)
+    fp0, fp1 = mk(16)
+    g = jnp.full((16,), 5, jnp.int32)
+    tbl, a1, _ = ht_insert(tbl, fp0, fp1, g, jnp.ones(16, bool))
+    tbl, a2, _ = ht_insert(tbl, fp0, fp1, g, jnp.ones(16, bool))
+    assert np.asarray(a1).all()
+    assert not np.asarray(a2).any()  # same cost: not strictly cheaper
+
+
+def test_reopen_cheaper():
+    tbl = ht_new(128)
+    fp0, fp1 = mk(16)
+    tbl, _, _ = ht_insert(tbl, fp0, fp1, jnp.full((16,), 9, jnp.int32),
+                          jnp.ones(16, bool))
+    tbl, a2, _ = ht_insert(tbl, fp0, fp1, jnp.full((16,), 3, jnp.int32),
+                           jnp.ones(16, bool))
+    assert np.asarray(a2).all()
+    np.testing.assert_array_equal(np.asarray(ht_lookup(tbl, fp0, fp1)), 3)
+    # and not re-accepted at the old worse cost
+    tbl, a3, _ = ht_insert(tbl, fp0, fp1, jnp.full((16,), 9, jnp.int32),
+                           jnp.ones(16, bool))
+    assert not np.asarray(a3).any()
+
+
+def test_intra_batch_duplicates_keep_min():
+    tbl = ht_new(128)
+    fp0, fp1 = mk(4)
+    # duplicate every key 3x with different costs
+    f0 = jnp.tile(fp0, 3)
+    f1 = jnp.tile(fp1, 3)
+    g = jnp.concatenate([jnp.full((4,), 7), jnp.full((4,), 2),
+                         jnp.full((4,), 5)]).astype(jnp.int32)
+    tbl, accept, _ = ht_insert(tbl, f0, f1, g, jnp.ones(12, bool))
+    # exactly one accept per key, and the stored cost is the min
+    assert int(np.asarray(accept).sum()) == 4
+    np.testing.assert_array_equal(np.asarray(ht_lookup(tbl, fp0, fp1)), 2)
+
+
+def test_invalid_entries_ignored():
+    tbl = ht_new(64)
+    fp0, fp1 = mk(8)
+    valid = jnp.asarray([True, False] * 4)
+    tbl, accept, _ = ht_insert(tbl, fp0, fp1, jnp.zeros(8, jnp.int32), valid)
+    np.testing.assert_array_equal(np.asarray(accept), np.asarray(valid))
+    got = np.asarray(ht_lookup(tbl, fp0, fp1))
+    assert (got[::2] == 0).all()
+    assert (got[1::2] == int(INF_G)).all()
+
+
+def test_high_load_probing():
+    # fill a small table to 75% load; all inserts must still land
+    tbl = ht_new(1024)
+    fp0, fp1 = mk(768, seed=3)
+    tbl, accept, ovf = ht_insert(tbl, fp0, fp1,
+                                 jnp.arange(768, dtype=jnp.int32),
+                                 jnp.ones(768, bool), max_probes=32)
+    assert np.asarray(accept).all()
+    got = np.asarray(ht_lookup(tbl, fp0, fp1, max_probes=32))
+    miss = (got != np.arange(768)).sum()
+    # overflow entries are accepted but not stored; everything stored must
+    # read back exactly
+    assert miss == int(ovf)
+    assert int(ovf) <= 8
+
+
+def test_zero_key_remap():
+    tbl = ht_new(64)
+    fp0 = jnp.zeros((1,), jnp.uint32)
+    fp1 = jnp.zeros((1,), jnp.uint32)
+    tbl, accept, _ = ht_insert(tbl, fp0, fp1, jnp.zeros(1, jnp.int32),
+                               jnp.ones(1, bool))
+    assert np.asarray(accept).all()
+    np.testing.assert_array_equal(np.asarray(ht_lookup(tbl, fp0, fp1)), 0)
