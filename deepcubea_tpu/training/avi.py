@@ -84,20 +84,35 @@ def _adam():
 
 
 def make_train_chunk(env: Environment, model: ResnetValueNet, cfg: AVIConfig,
-                     num_steps: int, all_zeros: bool, chunk_len: int):
+                     num_steps: int, all_zeros: bool, chunk_len: int,
+                     mesh=None):
     """A jitted scan of `chunk_len` streaming AVI iterations.
 
     Each iteration: generate fresh scrambles -> label with the frozen target
     (Bellman backup, or the k-step GBFS explorer for num_steps > 1) -> one
     Adam step on the current net. Returns (new_state, per-iter losses).
+
+    With `mesh`, the batch axis is sharded over the "data" mesh axis and
+    parameters follow `parallel.mesh.param_shardings` (data parallel +
+    optional fc1 tensor parallelism); XLA inserts the gradient psum and
+    activation collectives. This subsumes the reference's DataParallel +
+    worker-process fan-out (SURVEY.md §2.3).
     """
     tx = _adam()
     n_gen = max(1, math.ceil(cfg.batch_size / num_steps))
+
+    def constrain_batch(x):
+        if mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
     def one_iter(state: TrainState, target, key):
         target_params, target_stats = target
         k_gen, k_run = jax.random.split(key)
         states, _ = env.generate_scrambles(k_gen, n_gen, cfg.back_max)
+        states = constrain_batch(states)
 
         if num_steps == 1:
             if all_zeros:
@@ -116,6 +131,8 @@ def make_train_chunk(env: Environment, model: ResnetValueNet, cfg: AVIConfig,
             xs = res.traj_states.reshape(-1, env.state_width)
             y = res.traj_ctg.reshape(-1)
             weights = res.traj_valid.reshape(-1).astype(jnp.float32)
+
+        xs = constrain_batch(xs)
 
         def loss_fn(params):
             out, new_stats = forward_train(model, params, state.batch_stats,
