@@ -1,0 +1,158 @@
+"""Solver CLI — the `search_methods/astar.py` main equivalent.
+
+Usage (mirrors reference train.sh:9):
+  python -m deepcubea_tpu.cli.solve --states data/cube3/test/data_0.pkl \
+      --model saved_models/cube3/current --env cube3 --weight 0.6 \
+      --batch_size 10000 --results_dir results/cube3
+
+Loads either reference-format test pickles (State objects; via the compat
+unpickler) or this framework's packed-array pickles. Solves `--instances`
+states per device dispatch (the reference solves strictly sequentially,
+astar.py:416). Writes results.pkl {'states', 'solutions', 'paths', 'times',
+'num_nodes_generated'} (astar.py:392-397) and per-state output lines in the
+reference's format (astar.py:449-452).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from argparse import ArgumentParser
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = ArgumentParser(description=__doc__)
+    p.add_argument("--states", type=str, required=True)
+    p.add_argument("--model", type=str, required=True)
+    p.add_argument("--env", type=str, required=True)
+    p.add_argument("--weight", type=float, default=1.0)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="nodes popped per instance per iteration (BWAS B)")
+    p.add_argument("--results_dir", type=str, required=True)
+    p.add_argument("--start_idx", type=int, default=0)
+    p.add_argument("--end_idx", type=int, default=None)
+    p.add_argument("--instances", type=int, default=1,
+                   help="states solved in parallel per dispatch")
+    p.add_argument("--pool_capacity", type=int, default=1 << 22)
+    p.add_argument("--table_capacity", type=int, default=1 << 23)
+    p.add_argument("--max_iters", type=int, default=20000)
+    p.add_argument("--first_goal", action="store_true", default=False,
+                   help="Python-reference termination (first goal) instead "
+                        "of the C++ proof rule")
+    p.add_argument("--approx_pop", action="store_true", default=False)
+    p.add_argument("--max_path_len", type=int, default=1024)
+    p.add_argument("--nnet_batch_size", type=int, default=None,
+                   help="accepted for reference-CLI parity; unused (the "
+                        "heuristic evaluates in-program)")
+    p.add_argument("--language", type=str, default="tpu",
+                   help="accepted for reference-CLI parity; always tpu")
+    p.add_argument("--verbose", action="store_true", default=False)
+    p.add_argument("--debug", action="store_true", default=False)
+    return p.parse_args(argv)
+
+
+def load_states(path: str, env):
+    from ..utils.compat import load_test_set
+
+    with open(path, "rb") as f:
+        head = f.read(64)
+    del head
+    try:
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+        if isinstance(data, dict) and isinstance(data.get("states"), np.ndarray):
+            return data  # our packed format
+    except Exception:
+        pass
+    return load_test_set(path, env)
+
+
+def main(argv=None):
+    import jax
+
+    from ..envs import get_environment
+    from ..models import build_model
+    from ..search import AStarConfig, BatchWeightedAStar
+    from ..utils import is_valid_solution
+    from ..utils.checkpoint import load_checkpoint
+    from ..utils.logger import install_logger
+
+    args = parse_args(argv)
+    os.makedirs(args.results_dir, exist_ok=True)
+    if not args.debug:
+        install_logger(os.path.join(args.results_dir, "output.txt"))
+
+    env = get_environment(args.env)
+    data = load_states(args.states, env)
+    states = np.asarray(data["states"])
+    end = args.end_idx if args.end_idx is not None else states.shape[0]
+    states = states[args.start_idx:end]
+    n = states.shape[0]
+
+    ckpt = load_checkpoint(args.model)
+    if ckpt is None:
+        raise SystemExit(f"no checkpoint at {args.model}")
+    nnet_config = ckpt["meta"].get("nnet_config") or env.nnet_config
+    model = build_model(nnet_config)
+    params, stats = ckpt["params"], ckpt["batch_stats"]
+
+    cfg = AStarConfig(
+        weight=args.weight, batch_size=args.batch_size,
+        pool_capacity=args.pool_capacity, table_capacity=args.table_capacity,
+        first_goal=args.first_goal, approx_pop=args.approx_pop,
+        max_path_len=args.max_path_len)
+    solver = BatchWeightedAStar(env, model, params, stats, cfg)
+
+    results = dict(states=states, solutions=[], paths=[], times=[],
+                   num_nodes_generated=[])
+    print(f"devices: {jax.devices()}")
+    for lo in range(0, n, args.instances):
+        hi = min(lo + args.instances, n)
+        roots = jnp.asarray(states[lo:hi])
+        t0 = time.time()
+        res = solver.solve(roots, max_iters=args.max_iters,
+                           verbose=args.verbose)
+        batch_time = time.time() - t0
+
+        for j in range(hi - lo):
+            idx = lo + j
+            soln = res.solutions[j]
+            t = batch_time / (hi - lo)
+            results["solutions"].append(soln)
+            results["times"].append(t)
+            results["num_nodes_generated"].append(int(res.num_generated[j]))
+            if soln is None:
+                print(f"State: {idx}, UNSOLVED "
+                      f"(pool_dropped={int(res.pool_dropped[j])})")
+                results["paths"].append(None)
+                continue
+            assert is_valid_solution(env, states[idx], soln), idx
+            path = _replay_path(env, states[idx], soln)
+            results["paths"].append(path)
+            print("State: %i, SolnCost: %.2f, # Moves: %i, "
+                  "# Nodes Gen: %s, Time: %.2f" % (
+                      idx, float(len(soln)), len(soln),
+                      format(int(res.num_generated[j]), ","), t))
+
+    out = os.path.join(args.results_dir, "results.pkl")
+    with open(out, "wb") as f:
+        pickle.dump(results, f, protocol=-1)
+    solved = [s for s in results["solutions"] if s is not None]
+    print(f"solved {len(solved)}/{n}; results -> {out}")
+
+
+def _replay_path(env, state, moves):
+    s = jnp.asarray(np.asarray(state)[None, :])
+    path = [np.asarray(s)[0]]
+    for m in moves:
+        s = env.step(s, jnp.asarray([int(m)], jnp.int32))
+        path.append(np.asarray(s)[0])
+    return path
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Training CLI — the `ctg_approx/avi.py` equivalent.
+
+Usage (mirrors reference train.sh:4):
+  python -m deepcubea_tpu.cli.train --env cube3 --states_per_update 50000000 \
+      --batch_size 10000 --nnet_name cube3 --max_itrs 1200000 \
+      --loss_thresh 0.06 --back_max 30
+
+Checkpoints land in <save_dir>/<nnet_name>/{current,target}/ with resume on
+restart (reference avi.py:162-173, 196-198); stdout tees to output.txt
+(avi.py:181-182).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+from argparse import ArgumentParser
+
+import jax
+import jax.numpy as jnp
+
+
+def parse_args(argv=None):
+    p = ArgumentParser(description=__doc__)
+    p.add_argument("--env", type=str, required=True)
+    p.add_argument("--debug", action="store_true", default=False)
+    # gradient descent (reference avi.py:28-32)
+    p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--lr_d", type=float, default=0.9999993)
+    # training
+    p.add_argument("--max_itrs", type=int, default=1_000_000)
+    p.add_argument("--batch_size", type=int, default=1000)
+    # update
+    p.add_argument("--loss_thresh", type=float, default=0.05)
+    p.add_argument("--states_per_update", type=int, default=1000)
+    p.add_argument("--epochs_per_update", type=int, default=1)
+    p.add_argument("--max_update_steps", type=int, default=1)
+    p.add_argument("--update_method", type=str, default="GBFS")
+    p.add_argument("--eps_max", type=float, default=0.0)
+    # testing
+    p.add_argument("--num_test", type=int, default=10000)
+    # data
+    p.add_argument("--back_max", type=int, required=True)
+    # model
+    p.add_argument("--nnet_name", type=str, required=True)
+    p.add_argument("--save_dir", type=str, default="saved_models")
+    p.add_argument("--seed", type=int, default=0)
+    # architecture overrides (default: the reference architecture per env)
+    p.add_argument("--h1_dim", type=int, default=None)
+    p.add_argument("--resnet_dim", type=int, default=None)
+    p.add_argument("--num_resnet_blocks", type=int, default=None)
+    p.add_argument("--sokoban_boards", type=str, default=None,
+                   help="pickle of seed boards for sokoban hindsight "
+                        "generation (reference data/sokoban layout)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    from ..envs import get_environment
+    from ..training import AVIConfig, AVITrainer
+    from ..utils.checkpoint import (load_checkpoint, promote_to_target,
+                                    save_checkpoint)
+    from ..utils.logger import install_logger
+
+    args = parse_args(argv)
+    model_dir = os.path.join(args.save_dir, args.nnet_name)
+    curr_dir = os.path.join(model_dir, "current")
+    targ_dir = os.path.join(model_dir, "target")
+    os.makedirs(curr_dir, exist_ok=True)
+    os.makedirs(targ_dir, exist_ok=True)
+
+    if not args.debug:
+        install_logger(os.path.join(model_dir, "output.txt"))
+
+    # args snapshot (reference avi.py:110-114)
+    with open(os.path.join(model_dir, "args.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+
+    env = get_environment(args.env)
+    if env.name == "sokoban":
+        _load_sokoban_boards(env, args.sokoban_boards)
+
+    cfg = AVIConfig(
+        back_max=args.back_max, batch_size=args.batch_size, lr=args.lr,
+        lr_d=args.lr_d, max_itrs=args.max_itrs, loss_thresh=args.loss_thresh,
+        states_per_update=args.states_per_update,
+        epochs_per_update=args.epochs_per_update,
+        max_update_steps=args.max_update_steps,
+        update_method=args.update_method.lower(), eps_max=args.eps_max,
+        num_test=args.num_test)
+
+    nnet_config = dict(env.nnet_config)
+    for k in ("h1_dim", "resnet_dim", "num_resnet_blocks"):
+        if getattr(args, k) is not None:
+            nnet_config[k] = getattr(args, k)
+
+    from ..models import build_model
+    print(f"devices: {jax.devices()}")
+    trainer = AVITrainer(env, cfg, seed=args.seed,
+                         model=build_model(nnet_config))
+
+    # resume (reference avi.py:162-173)
+    ckpt = load_checkpoint(curr_dir)
+    if ckpt is not None:
+        trainer.state = trainer.state._replace(
+            params=jax.tree_util.tree_map(jnp.asarray, ckpt["params"]),
+            batch_stats=jax.tree_util.tree_map(jnp.asarray, ckpt["batch_stats"]),
+            itr=jnp.asarray(ckpt["meta"].get("itr", 0), jnp.int32))
+        trainer.update_num = ckpt["meta"].get("update_num", 0)
+        print(f"resumed from {curr_dir}: itr {trainer.itr}, "
+              f"update {trainer.update_num}")
+        tgt = load_checkpoint(targ_dir)
+        if tgt is not None:
+            trainer.target_params = jax.tree_util.tree_map(
+                jnp.asarray, tgt["params"])
+            trainer.target_stats = jax.tree_util.tree_map(
+                jnp.asarray, tgt["batch_stats"])
+
+    def on_update_end(t: AVITrainer):
+        meta = dict(itr=t.itr, update_num=t.update_num,
+                    config=dataclasses.asdict(cfg), env=args.env,
+                    nnet_config=nnet_config)
+        save_checkpoint(curr_dir, t.state.params, t.state.batch_stats, meta)
+        if getattr(t, "last_swapped", False):
+            # current -> target only when the swap fired (avi.py:250-255)
+            promote_to_target(curr_dir, targ_dir)
+
+    trainer.train(max_itrs=args.max_itrs, on_update_end=on_update_end)
+
+
+def _load_sokoban_boards(env, path):
+    import pickle
+
+    import numpy as np
+
+    from ..envs.sokoban import load_boards_from_grid
+
+    candidates = [path] if path else [
+        "data/sokoban/train/data_0.pkl", "data/sokoban/data_0.pkl",
+        "/root/reference/data/sokoban/data_0.pkl",
+    ]
+    for p in candidates:
+        if p and os.path.exists(p):
+            with open(p, "rb") as f:
+                grid = np.asarray(pickle.load(f))
+            env.set_boards(load_boards_from_grid(grid))
+            return
+    raise SystemExit("sokoban: no seed boards found; pass --sokoban_boards")
+
+
+if __name__ == "__main__":
+    main()

@@ -95,7 +95,8 @@ def astar_init(env: Environment, cfg: AStarConfig,
     from .hashtable import INF_G
     tbl = HashTable(fp0=jnp.zeros((i, h), jnp.uint32),
                     fp1=jnp.zeros((i, h), jnp.uint32),
-                    g=jnp.full((i, h), INF_G, jnp.int32))
+                    g=jnp.full((i, h), INF_G, jnp.int32),
+                    claim=jnp.zeros((i, h), jnp.int32))
     consts = _fp_consts(env)
     fp0, fp1 = fingerprint(roots, consts)
     tbl, _, _ = jax.vmap(

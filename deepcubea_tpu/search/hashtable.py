@@ -12,14 +12,16 @@ Keys are (fp0, fp1) uint32 pairs from `envs.base.fingerprint` (~2^-64
 pairwise collision odds; TPUs run x32 so a single 64-bit key is out).
 (0, 0) is the empty marker; real keys hitting it are remapped to (1, 1).
 
-Batched insertion is contention-free by construction:
-  1. intra-batch dedup keeps the min-cost entry per distinct key
-     (sort + first-occurrence mask);
-  2. each probe round resolves same-slot collisions batch-side (sort of the
-     slot vector + first-occurrence mask) so every table write in a round
-     targets a unique slot — no O(table) claim buffers, no atomics;
-  3. losers advance along their double-hash probe sequence next round.
-Entries still unplaced after `max_probes` rounds are accepted WITHOUT
+Batched insertion resolves same-slot contention with a persistent claim
+array and gather-back verification — no sorts, no O(table) re-inits, no
+atomics: every contender scatters its batch index into claim[slot]
+(duplicate-index scatter keeps an arbitrary winner), reads the slot back,
+and only the entry that sees its own index writes the key. Losers RETRY THE
+SAME SLOT next round (it is now occupied: a same-key loser becomes a match,
+a different-key loser advances its double-hash probe), which also makes
+intra-batch duplicate keys converge to the match path. Stale claim values
+are never read: a slot is only read back in the round it was written.
+Entries still unplaced after the round budget are accepted WITHOUT
 insertion (they may be re-expanded later; correctness is unaffected) and
 counted in the overflow statistic.
 
@@ -38,9 +40,10 @@ INF_G = jnp.int32(0x7FFFFFFF)
 
 
 class HashTable(NamedTuple):
-    fp0: jnp.ndarray  # (H,) uint32, 0 = empty (together with fp1)
-    fp1: jnp.ndarray  # (H,) uint32
-    g: jnp.ndarray    # (H,) int32 best known path cost
+    fp0: jnp.ndarray    # (H,) uint32, 0 = empty (together with fp1)
+    fp1: jnp.ndarray    # (H,) uint32
+    g: jnp.ndarray      # (H,) int32 best known path cost
+    claim: jnp.ndarray  # (H,) int32 contention scratch (never read stale)
 
 
 def ht_new(capacity: int) -> HashTable:
@@ -49,6 +52,7 @@ def ht_new(capacity: int) -> HashTable:
         fp0=jnp.zeros((capacity,), jnp.uint32),
         fp1=jnp.zeros((capacity,), jnp.uint32),
         g=jnp.full((capacity,), INF_G, jnp.int32),
+        claim=jnp.zeros((capacity,), jnp.int32),
     )
 
 
@@ -65,12 +69,6 @@ def _slot(fp0: jnp.ndarray, fp1: jnp.ndarray, probe, mask: int) -> jnp.ndarray:
     return ((fp0 + jnp.uint32(probe) * step) & jnp.uint32(mask)).astype(jnp.int32)
 
 
-def _first_of_group(keys0, keys1) -> jnp.ndarray:
-    """Given sorted key columns, mark the first row of each distinct key."""
-    neq = (keys0[1:] != keys0[:-1]) | (keys1[1:] != keys1[:-1])
-    return jnp.concatenate([jnp.ones((1,), bool), neq])
-
-
 def ht_insert(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,
               g: jnp.ndarray, valid: jnp.ndarray, max_probes: int = 16,
               ) -> Tuple[HashTable, jnp.ndarray, jnp.ndarray]:
@@ -84,60 +82,53 @@ def ht_insert(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,
     n = fp0.shape[0]
     h = tbl.fp0.shape[0]
     mask = h - 1
-    idx = jnp.arange(n)
+    idx = jnp.arange(n, dtype=jnp.int32)
 
     fp0, fp1 = _remap_empty(fp0, fp1)
-    # invalid entries form their own (0,0) group and never win
-    fp0 = jnp.where(valid, fp0, jnp.uint32(0))
-    fp1 = jnp.where(valid, fp1, jnp.uint32(0))
 
-    # --- intra-batch dedup: min-g first occurrence per key ---------------
-    order = jnp.lexsort((g, fp1, fp0))
-    sf0, sf1, sv = fp0[order], fp1[order], valid[order]
-    first = _first_of_group(sf0, sf1) & sv
-    winner = jnp.zeros((n,), bool).at[order].set(first)
-
-    def probe_round(p, carry):
-        t_fp0, t_fp1, t_g, accept, done = carry
+    def probe_round(_, carry):
+        t_fp0, t_fp1, t_g, claim, accept, done, probe = carry
         active = ~done
-        slot = _slot(fp0, fp1, p, mask)
+        slot = _slot(fp0, fp1, probe, mask)
         t0, t1, tg = t_fp0[slot], t_fp1[slot], t_g[slot]
 
         empty = active & (t0 == 0) & (t1 == 0)
         match = active & (t0 == fp0) & (t1 == fp1)
 
-        # matches: strictly cheaper reopens (scatter-min the cost)
+        # matches: strictly cheaper reopens (scatter-min the cost;
+        # duplicate-slot mins are associative)
         cheaper = match & (g < tg)
-        min_slots = jnp.where(cheaper, slot, h)
-        t_g = t_g.at[min_slots].min(g, mode="drop")
+        t_g = t_g.at[jnp.where(cheaper, slot, h)].min(g, mode="drop")
         accept = accept | cheaper
         done = done | match
 
-        # empties: resolve same-slot contention batch-side, winners write
-        slot_key = jnp.where(empty, slot, h).astype(jnp.int32)
-        s_order = jnp.argsort(slot_key)
-        s_first = jnp.concatenate(
-            [jnp.ones((1,), bool), slot_key[s_order][1:] != slot_key[s_order][:-1]])
-        slot_winner = jnp.zeros((n,), bool).at[s_order].set(s_first) & empty
-
-        w_slots = jnp.where(slot_winner, slot, h)
+        # empties: contend via the claim array, gather-back verifies
+        claim = claim.at[jnp.where(empty, slot, h)].set(idx, mode="drop")
+        won = empty & (claim[slot] == idx)
+        w_slots = jnp.where(won, slot, h)
         t_fp0 = t_fp0.at[w_slots].set(fp0, mode="drop")
         t_fp1 = t_fp1.at[w_slots].set(fp1, mode="drop")
         t_g = t_g.at[w_slots].set(g, mode="drop")
-        accept = accept | slot_winner
-        done = done | slot_winner
-        return t_fp0, t_fp1, t_g, accept, done
+        accept = accept | won
+        done = done | won
 
-    init = (tbl.fp0, tbl.fp1, tbl.g,
-            jnp.zeros((n,), bool), ~winner)
-    t_fp0, t_fp1, t_g, accept, done = jax.lax.fori_loop(
+        # claim losers retry the SAME slot (now occupied: same-key loser
+        # becomes a match next round); foreign-occupied slots advance
+        lost = empty & ~won
+        probe = probe + jnp.where(active & ~done & ~lost, 1, 0).astype(jnp.uint32)
+        return t_fp0, t_fp1, t_g, claim, accept, done, probe
+
+    init = (tbl.fp0, tbl.fp1, tbl.g, tbl.claim,
+            jnp.zeros((n,), bool), ~valid,
+            jnp.zeros((n,), jnp.uint32))
+    t_fp0, t_fp1, t_g, claim, accept, done, _ = jax.lax.fori_loop(
         0, max_probes, probe_round, init)
 
     # probe exhaustion: accept without insertion (safe, counts as overflow)
     leftover = ~done
     accept = accept | leftover
     overflow = jnp.sum(leftover.astype(jnp.int32))
-    return HashTable(t_fp0, t_fp1, t_g), accept, overflow
+    return HashTable(t_fp0, t_fp1, t_g, claim), accept, overflow
 
 
 def ht_lookup(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,

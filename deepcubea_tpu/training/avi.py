@@ -47,6 +47,7 @@ import optax
 from ..envs.base import Environment
 from ..models.resnet import (ResnetValueNet, build_model, forward_train,
                              init_variables)
+from .astar_explore import astar_explore
 from .gbfs import bellman_backup, gbfs_run, gbfs_test
 
 
@@ -123,6 +124,14 @@ def make_train_chunk(env: Environment, model: ResnetValueNet, cfg: AVIConfig,
                 y, _, _ = bellman_backup(env, model, target_params,
                                          target_stats, states, clip_zero=True)
             xs, weights = states, jnp.ones((n_gen,), jnp.float32)
+        elif cfg.update_method.lower() == "astar":
+            # per-instance random weight (updater.py:37)
+            w_rand = jax.random.uniform(k_run, (n_gen,))
+            res = astar_explore(env, model, target_params, target_stats,
+                                states, w_rand, num_steps)
+            xs = res.traj_states.reshape(-1, env.state_width)
+            y = res.traj_ctg.reshape(-1)
+            weights = res.traj_valid.reshape(-1).astype(jnp.float32)
         else:
             k_eps, k_gbfs = jax.random.split(k_run)
             eps = jax.random.uniform(k_eps, (n_gen,)) * cfg.eps_max
@@ -182,6 +191,7 @@ class AVITrainer:
         self.update_num = 0
         self._chunk_cache = {}
         self.last_loss = float("inf")
+        self.last_swapped = False
 
     def _example_states(self):
         if hasattr(self.env, "goal_states"):
@@ -243,13 +253,14 @@ class AVITrainer:
     def maybe_swap_target(self) -> bool:
         """Target swap = rebinding a pytree of device arrays (vs. the
         reference's directory copy, avi.py:121-126, 250-255)."""
+        self.last_swapped = False
         if self.last_loss < self.cfg.loss_thresh:
             self.log("Updating target network")
             self.target_params = self.state.params
             self.target_stats = self.state.batch_stats
             self.update_num += 1
-            return True
-        return False
+            self.last_swapped = True
+        return self.last_swapped
 
     def evaluate(self) -> dict:
         self.key, k = jax.random.split(self.key)

@@ -1,0 +1,74 @@
+"""End-to-end CLI pipeline on a tiny config: train -> checkpoint/resume ->
+generate dataset -> solve -> compare (the reference's full workflow,
+train.sh:4-13). CLIs run in-process so all stages share one JIT cache."""
+
+import json
+import os
+import pickle
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("cli_e2e"))
+
+
+@pytest.fixture(autouse=True)
+def in_workdir(workdir, monkeypatch):
+    monkeypatch.chdir(workdir)
+
+
+TRAIN_ARGS = [
+    "--env", "lightsout3", "--nnet_name", "lo3", "--back_max", "2",
+    "--batch_size", "128", "--states_per_update", "512", "--loss_thresh",
+    "5.0", "--num_test", "12", "--h1_dim", "32", "--resnet_dim", "16",
+    "--num_resnet_blocks", "1", "--debug", "--seed", "0",
+]
+
+
+def test_train_solve_compare_pipeline(workdir, capsys):
+    from deepcubea_tpu.cli import compare, generate_dataset, solve, train
+
+    # train 2 updates (8 itrs)
+    train.main(TRAIN_ARGS + ["--max_itrs", "8"])
+    out = capsys.readouterr().out
+    assert "Updating target network" in out
+    ckpt = os.path.join(workdir, "saved_models", "lo3", "current")
+    assert os.path.isfile(os.path.join(ckpt, "model.msgpack"))
+    with open(os.path.join(ckpt, "meta.json")) as f:
+        assert json.load(f)["itr"] == 8
+
+    # resume picks up where it left off
+    train.main(TRAIN_ARGS + ["--max_itrs", "12"])
+    out = capsys.readouterr().out
+    assert "resumed" in out
+    with open(os.path.join(ckpt, "meta.json")) as f:
+        assert json.load(f)["itr"] == 12
+
+    # dataset
+    generate_dataset.main(["--env", "lightsout3", "--back_max", "3",
+                           "--num_per_file", "8", "--num_files", "1",
+                           "--save_dir", "testset"])
+    with open(os.path.join(workdir, "testset", "data_0.pkl"), "rb") as f:
+        ds = pickle.load(f)
+    assert ds["states"].shape == (8, 9)
+
+    # solve
+    solve.main(["--states", "testset/data_0.pkl", "--model",
+                "saved_models/lo3/current", "--env", "lightsout3",
+                "--weight", "1.0", "--batch_size", "16", "--instances", "8",
+                "--pool_capacity", "4096", "--table_capacity", "8192",
+                "--results_dir", "results", "--max_iters", "100", "--debug"])
+    capsys.readouterr()
+    with open(os.path.join(workdir, "results", "results.pkl"), "rb") as f:
+        res = pickle.load(f)
+    solved = [s for s in res["solutions"] if s is not None]
+    assert len(solved) == 8  # 9-cell lights out, depth<=3: all solvable
+    assert len(res["paths"][0]) == len(res["solutions"][0]) + 1
+
+    # compare against itself: all-equal histogram
+    compare.main(["--soln1", "results/results.pkl",
+                  "--soln2", "results/results.pkl"])
+    out = capsys.readouterr().out
+    assert "% equal to soln1 length: 100.00%" in out
