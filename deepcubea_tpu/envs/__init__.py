@@ -1,5 +1,5 @@
 from .base import Environment, fingerprint, fingerprint_constants
-from .cube3 import Cube3
+from .cube3 import Cube3, Cube4
 from .lightsout import LightsOut
 from .npuzzle import NPuzzle
 from .registry import get_environment
@@ -7,6 +7,6 @@ from .sokoban import Sokoban, load_boards_from_grid
 
 __all__ = [
     "Environment", "fingerprint", "fingerprint_constants",
-    "Cube3", "LightsOut", "NPuzzle", "Sokoban",
+    "Cube3", "Cube4", "LightsOut", "NPuzzle", "Sokoban",
     "get_environment", "load_boards_from_grid",
 ]

@@ -53,86 +53,97 @@ def _strip(spec, n: int) -> List[Tuple[int, int]]:
     return list(zip(rows, cols))
 
 
-def _adj_strips(n: int) -> Dict[int, Dict[int, List[Tuple[int, int]]]]:
-    """The border strip of each neighbor face that touches a given face,
-    listed in an orientation consistent with _ADJ_FACES cycling."""
+def _adj_strips(n: int, depth: int = 0) -> Dict[int, Dict[int, List[Tuple[int, int]]]]:
+    """The strip of each neighbor face cycled by a turn of a given face at
+    layer `depth` (0 = the outer border touching the face), in an
+    orientation consistent with _ADJ_FACES cycling. Depth > 0 gives the
+    inner-slice moves of big cubes (the C++ 4x4x4, environments.h:125-145)."""
     fwd = list(range(n))
     rev = list(range(n - 1, -1, -1))
-    last = n - 1
+    lo, hi = depth, n - 1 - depth
     return {
-        U: {L: _strip((fwd, last), n), F: _strip((fwd, last), n),
-            R: _strip((fwd, last), n), B: _strip((fwd, last), n)},
-        D: {L: _strip((fwd, 0), n), B: _strip((fwd, 0), n),
-            R: _strip((fwd, 0), n), F: _strip((fwd, 0), n)},
-        L: {U: _strip((0, fwd), n), B: _strip((last, rev), n),
-            D: _strip((0, fwd), n), F: _strip((0, fwd), n)},
-        R: {U: _strip((last, fwd), n), F: _strip((last, fwd), n),
-            D: _strip((last, fwd), n), B: _strip((0, rev), n)},
-        B: {U: _strip((fwd, last), n), R: _strip((last, rev), n),
-            D: _strip((rev, 0), n), L: _strip((0, fwd), n)},
-        F: {U: _strip((fwd, 0), n), L: _strip((last, fwd), n),
-            D: _strip((rev, last), n), R: _strip((0, rev), n)},
+        U: {L: _strip((fwd, hi), n), F: _strip((fwd, hi), n),
+            R: _strip((fwd, hi), n), B: _strip((fwd, hi), n)},
+        D: {L: _strip((fwd, lo), n), B: _strip((fwd, lo), n),
+            R: _strip((fwd, lo), n), F: _strip((fwd, lo), n)},
+        L: {U: _strip((lo, fwd), n), B: _strip((hi, rev), n),
+            D: _strip((lo, fwd), n), F: _strip((lo, fwd), n)},
+        R: {U: _strip((hi, fwd), n), F: _strip((hi, fwd), n),
+            D: _strip((hi, fwd), n), B: _strip((lo, rev), n)},
+        B: {U: _strip((fwd, hi), n), R: _strip((hi, rev), n),
+            D: _strip((rev, lo), n), L: _strip((lo, fwd), n)},
+        F: {U: _strip((fwd, lo), n), L: _strip((hi, fwd), n),
+            D: _strip((rev, hi), n), R: _strip((lo, rev), n)},
     }
 
 
-def build_move_permutations(cube_len: int) -> np.ndarray:
-    """(2 * 6, n^2 * 6) permutation table; next = state[perm[move]].
+def build_move_permutations(cube_len: int, num_layers: int = 1) -> np.ndarray:
+    """(6 * 2 * num_layers, n^2 * 6) permutation table; next = state[perm[a]].
 
-    Move 2*f + 0 is the sign=-1 turn of face f, move 2*f + 1 the sign=+1
-    turn, giving the reference's move ordering (cube3.py:28).
+    Move ordering: for face f in U,D,L,R,B,F, sign s in (-1, +1), layer l in
+    0..num_layers-1, index = (2f + (s==1)) * num_layers + l — num_layers=1
+    reproduces the reference cube3 ordering (cube3.py:28). Layer 0 rotates
+    the face's own sticker grid and cycles the outer strips; deeper layers
+    cycle inner strips only (the 4x4x4's 24-move set).
     """
     n = cube_len
     n2 = n * n
-    strips = _adj_strips(n)
+    strips_by_depth = [_adj_strips(n, d) for d in range(num_layers)]
 
     def flat(face: int, r: int, c: int) -> int:
         return face * n2 + r * n + c
 
-    perms = np.zeros((12, 6 * n2), dtype=np.int32)
+    perms = np.zeros((12 * num_layers, 6 * n2), dtype=np.int32)
     for face in range(6):
         for si, sign in enumerate((-1, 1)):
-            perm = np.arange(6 * n2, dtype=np.int32)
-            # 1) rotate the face's own sticker grid by 90 degrees
-            for i in range(n):
-                for j in range(n):
-                    if sign == 1:
-                        src = (n - 1 - j, i)
-                    else:
-                        src = (j, n - 1 - i)
-                    perm[flat(face, i, j)] = flat(face, *src)
-            # 2) cycle the adjacent border strips
-            adj = _ADJ_FACES[face]
-            for i, face_to in enumerate(adj):
-                face_from = adj[(i + sign) % 4]
-                cells_to = strips[face][face_to]
-                cells_from = strips[face][face_from]
-                for (rt, ct), (rf, cf) in zip(cells_to, cells_from):
-                    perm[flat(face_to, rt, ct)] = flat(face_from, rf, cf)
-            perms[2 * face + si] = perm
+            for layer in range(num_layers):
+                perm = np.arange(6 * n2, dtype=np.int32)
+                if layer == 0:
+                    # rotate the face's own sticker grid by 90 degrees
+                    for i in range(n):
+                        for j in range(n):
+                            if sign == 1:
+                                src = (n - 1 - j, i)
+                            else:
+                                src = (j, n - 1 - i)
+                            perm[flat(face, i, j)] = flat(face, *src)
+                # cycle the adjacent strips at this depth
+                adj = _ADJ_FACES[face]
+                strips = strips_by_depth[layer]
+                for i, face_to in enumerate(adj):
+                    face_from = adj[(i + sign) % 4]
+                    cells_to = strips[face][face_to]
+                    cells_from = strips[face][face_from]
+                    for (rt, ct), (rf, cf) in zip(cells_to, cells_from):
+                        perm[flat(face_to, rt, ct)] = flat(face_from, rf, cf)
+                perms[(2 * face + si) * num_layers + layer] = perm
     return perms
 
 
 class Cube3(Environment):
-    """3x3x3 Rubik's cube (reference environments/cube3.py)."""
+    """NxNxN Rubik's cube (reference environments/cube3.py for N=3; the
+    reference's C++-only 4x4x4 with 24 layered moves, environments.h:125-145,
+    is the num_layers=2 instantiation — see Cube4)."""
 
     name = "cube3"
 
-    def __init__(self, cube_len: int = 3):
+    def __init__(self, cube_len: int = 3, num_layers: int = 1):
         self.cube_len = cube_len
+        self.num_layers = num_layers
         n2 = cube_len * cube_len
         self.state_width = 6 * n2
-        self.num_actions = 12
+        self.num_actions = 12 * num_layers
         self.dtype = np.uint8
         self.one_hot_depth = 6
         self.encoded_width = self.state_width
 
-        self._perms_np = build_move_permutations(cube_len)
+        self._perms_np = build_move_permutations(cube_len, num_layers)
         self._perms = jnp.asarray(self._perms_np)
         self._goal_np = np.arange(self.state_width, dtype=np.uint8)
-        # reverse of (face, -1) is (face, +1): swap adjacent move pairs
-        rev = np.arange(12, dtype=np.int32)
-        rev = rev ^ 1
-        self._reverse = rev
+        # reverse of (face, -1, layer) is (face, +1, layer): the sign bit is
+        # bit log2(num_layers) of the move index (num_layers is 1 or 2)
+        assert num_layers in (1, 2)
+        self._reverse = np.arange(self.num_actions, dtype=np.int32) ^ num_layers
 
     # dynamics ---------------------------------------------------------- #
 
@@ -170,3 +181,22 @@ class Cube3(Environment):
         return dict(state_dim=self.state_width, one_hot_depth=6, h1_dim=5000,
                     resnet_dim=1000, num_resnet_blocks=4, out_dim=1,
                     batch_norm=True)
+
+
+class Cube4(Cube3):
+    """4x4x4 cube, 24 layered quarter-turns (reference cpp/environments.h:
+    125-145, cpp:263-370 — C++-only there: no Python counterpart, no trained
+    net). Solved = every face uniform in color (cpp:356-366): on an even
+    cube the centers are interchangeable, so sticker-level identity is too
+    strict. Unlike the reference, this instantiation is fully trainable and
+    searchable (value net config provided)."""
+
+    name = "cube4"
+
+    def __init__(self):
+        super().__init__(cube_len=4, num_layers=2)
+
+    def is_solved(self, states: jnp.ndarray) -> jnp.ndarray:
+        n2 = self.cube_len * self.cube_len
+        colors = (states // n2).reshape(states.shape[0], 6, n2)
+        return jnp.all(colors == colors[:, :, :1], axis=(1, 2))

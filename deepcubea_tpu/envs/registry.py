@@ -6,7 +6,7 @@ import math
 import re
 
 from .base import Environment
-from .cube3 import Cube3
+from .cube3 import Cube3, Cube4
 from .lightsout import LightsOut
 from .npuzzle import NPuzzle
 from .sokoban import Sokoban
@@ -19,6 +19,8 @@ def get_environment(env_name: str) -> Environment:
 
     if env_name == "cube3":
         return Cube3()
+    if env_name == "cube4":
+        return Cube4()
     if m_puzzle:
         n_tiles = int(m_puzzle.group(1))
         dim = int(math.sqrt(n_tiles + 1))
