@@ -118,11 +118,23 @@ def ht_insert(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,
         probe = probe + jnp.where(active & ~done & ~lost, 1, 0).astype(jnp.uint32)
         return t_fp0, t_fp1, t_g, claim, accept, done, probe
 
-    init = (tbl.fp0, tbl.fp1, tbl.g, tbl.claim,
-            jnp.zeros((n,), bool), ~valid,
-            jnp.zeros((n,), jnp.uint32))
-    t_fp0, t_fp1, t_g, claim, accept, done, _ = jax.lax.fori_loop(
-        0, max_probes, probe_round, init)
+    init = (0, (tbl.fp0, tbl.fp1, tbl.g, tbl.claim,
+                jnp.zeros((n,), bool), ~valid,
+                jnp.zeros((n,), jnp.uint32)))
+
+    def cond(state):
+        r, carry = state
+        done = carry[5]
+        # early exit: at sane load factors almost everything places in the
+        # first 2-3 rounds
+        return (r < max_probes) & ~jnp.all(done)
+
+    def body(state):
+        r, carry = state
+        return r + 1, probe_round(r, carry)
+
+    _, (t_fp0, t_fp1, t_g, claim, accept, done, _) = jax.lax.while_loop(
+        cond, body, init)
 
     # probe exhaustion: accept without insertion (safe, counts as overflow)
     leftover = ~done
@@ -139,17 +151,21 @@ def ht_lookup(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,
     fp0, fp1 = _remap_empty(fp0, fp1)
     n = fp0.shape[0]
 
-    def probe_round(p, carry):
-        best, done = carry
+    def cond(state):
+        p, best, done = state
+        return (p < max_probes) & ~jnp.all(done)
+
+    def body(state):
+        p, best, done = state
         slot = _slot(fp0, fp1, p, mask)
         t0, t1, tg = tbl.fp0[slot], tbl.fp1[slot], tbl.g[slot]
         match = ~done & (t0 == fp0) & (t1 == fp1)
         empty = (t0 == 0) & (t1 == 0)
         best = jnp.where(match, tg, best)
         done = done | match | empty
-        return best, done
+        return p + 1, best, done
 
-    best, _ = jax.lax.fori_loop(
-        0, max_probes, probe_round,
-        (jnp.full((n,), INF_G, jnp.int32), jnp.zeros((n,), bool)))
+    _, best, _ = jax.lax.while_loop(
+        cond, body,
+        (0, jnp.full((n,), INF_G, jnp.int32), jnp.zeros((n,), bool)))
     return best

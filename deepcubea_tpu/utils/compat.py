@@ -119,6 +119,29 @@ def normalize_solution(moves: List[Any]) -> List[int]:
     return out
 
 
+def load_states_from_files(data_dir: str, env: Environment,
+                           max_files: int = 0) -> np.ndarray:
+    """Concatenate states from every data_*.pkl shard in a directory
+    (reference utils/data_utils.py:26-49), accepting both this framework's
+    packed-array shards and reference-format object shards."""
+    import glob
+    import os
+
+    paths = sorted(glob.glob(os.path.join(data_dir, "data_*.pkl")))
+    if max_files:
+        paths = paths[:max_files]
+    chunks = []
+    for p in paths:
+        data = load_reference_pickle(p)
+        s = data["states"] if isinstance(data, dict) else data
+        if not isinstance(s, np.ndarray):
+            s = states_to_array(s, env)
+        chunks.append(np.asarray(s))
+    if not chunks:
+        raise FileNotFoundError(f"no data_*.pkl shards in {data_dir}")
+    return np.concatenate(chunks, axis=0)
+
+
 def load_test_set(path: str, env: Environment) -> Dict[str, Any]:
     """Returns {'states': (N, W) uint8, 'solutions': Optional[List[List[int]]],
     plus any other keys verbatim}."""
