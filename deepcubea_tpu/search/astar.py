@@ -278,14 +278,31 @@ class BatchWeightedAStar:
     """
 
     def __init__(self, env: Environment, model: ResnetValueNet, params,
-                 batch_stats, cfg: AStarConfig):
+                 batch_stats, cfg: AStarConfig, mesh=None):
+        """With `mesh`, instances shard over the "data" axis: independent
+        searches per device, parameters replicated — search-frontier
+        scaling across chips (SURVEY.md §5 'long-context' analogue). The
+        instance count must divide by the data-axis size."""
         self.env = env
         self.model = model
         self.params = params
         self.batch_stats = batch_stats
         self.cfg = cfg
+        self.mesh = mesh
         self._step = make_astar_step(env, model, cfg)
         self._extract = make_path_extractor(cfg)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._inst_sharding = NamedSharding(mesh, P("data"))
+            self._repl_sharding = NamedSharding(mesh, P())
+        else:
+            self._inst_sharding = None
+
+    def _shard_state(self, state: SearchState) -> SearchState:
+        if self._inst_sharding is None:
+            return state
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, self._inst_sharding), state)
 
     def solve(self, roots: jnp.ndarray,
               weights: Optional[np.ndarray] = None,
@@ -296,6 +313,11 @@ class BatchWeightedAStar:
         t0 = time.time()
         state = astar_init(self.env, self.cfg, roots,
                            None if weights is None else jnp.asarray(weights))
+        state = self._shard_state(state)
+        if self._inst_sharding is not None:
+            self.params = jax.device_put(self.params, self._repl_sharding)
+            self.batch_stats = jax.device_put(self.batch_stats,
+                                              self._repl_sharding)
         iters = 0
         while iters < max_iters:
             for _ in range(check_every):
