@@ -138,9 +138,10 @@ def make_astar_step(env: Environment, model: ResnetValueNet,
             neg, pop_idx = jax.lax.top_k(-s.f, b)
         pop_f = -neg                                   # (I, B)
         live = ~s.done
-        valid_pop = jnp.isfinite(pop_f) & live[:, None]
+        popped_real = jnp.isfinite(pop_f) & live[:, None]
+        # every really-popped node leaves the open list, stale or not
         f_new = jnp.where(
-            jnp.zeros((i, c), bool).at[jnp.arange(i)[:, None], pop_idx].set(valid_pop),
+            jnp.zeros((i, c), bool).at[jnp.arange(i)[:, None], pop_idx].set(popped_real),
             INF_F, s.f)
 
         rows = jnp.arange(i)[:, None]
@@ -151,7 +152,7 @@ def make_astar_step(env: Environment, model: ResnetValueNet,
         pfp0, pfp1 = fingerprint(pop_states.reshape(i * b, w), consts)
         g_best = jax.vmap(partial(ht_lookup, max_probes=cfg.max_probes))(
             s.tbl, pfp0.reshape(i, b), pfp1.reshape(i, b))
-        valid_pop &= pop_g <= g_best
+        valid_pop = popped_real & (pop_g <= g_best)
 
         min_pop_f = jnp.min(jnp.where(valid_pop, pop_f, INF_F), axis=1)
 
@@ -216,17 +217,21 @@ def make_astar_step(env: Environment, model: ResnetValueNet,
         # ---- termination ---------------------------------------------------
         # C++ batch rule (cpp:184-208): the cheapest node left to expand can
         # no longer beat the best goal. Python rule: first goal found.
-        exhausted = ~jnp.isfinite(min_pop_f)           # open list empty
+        # exhausted = nothing at all came off the open list (an all-stale
+        # pop round is NOT exhaustion; real nodes may remain)
+        exhausted = ~jnp.any(popped_real, axis=1)
+        proof = jnp.isfinite(goal_f) & (min_pop_f >= goal_f)
         if cfg.first_goal:
             done = s.done | jnp.isfinite(goal_f) | exhausted
         else:
-            done = s.done | (min_pop_f >= goal_f) | exhausted
+            done = s.done | proof | exhausted
 
         return SearchState(
             states=states_new, g=g_new, f=f_new, parent=parent_new,
             action=action_new, size=size_new, tbl=tbl, weight=s.weight,
             goal_id=goal_id, goal_f=goal_f, done=done,
-            num_generated=s.num_generated + jnp.where(live, b * a, 0),
+            num_generated=s.num_generated
+            + jnp.sum(valid_pop.astype(jnp.int32), axis=1) * a,
             pool_dropped=s.pool_dropped + dropped,
             tbl_overflow=s.tbl_overflow + jnp.where(live, ovf, 0),
         )

@@ -122,6 +122,26 @@ def test_node_accounting(lo2):
     assert res.num_generated.max() <= 16 * 4 * cfg.batch_size
 
 
+def test_stale_pops_leave_open_list(np2):
+    """Reopened states create stale open entries; a stale pop must be
+    consumed (not re-popped forever) and an all-stale round must not count
+    as exhaustion. Small pop batches + n-puzzle transpositions exercise
+    reopening heavily; the search must terminate with done=True well before
+    max_iters and still be optimal."""
+    env, model, params, stats = np2
+    states, dists = all_states_with_dists(env)
+    cfg = AStarConfig(weight=1.0, batch_size=2, pool_capacity=1 << 10,
+                      table_capacity=1 << 11, max_path_len=32)
+    solver = BatchWeightedAStar(env, model, params, stats, cfg)
+    res = solver.solve(jnp.asarray(states), max_iters=500)
+    # 12-state space with B=2: must finish in far fewer iterations than the
+    # cap if stale entries are being consumed
+    assert res.search_iters < 100
+    for i in range(states.shape[0]):
+        assert res.solutions[i] is not None
+        assert len(res.solutions[i]) == dists[i]
+
+
 def test_learned_heuristic_still_valid():
     """With an arbitrary (untrained, inadmissible) heuristic, solutions may
     be suboptimal but must still be valid paths to the goal."""
