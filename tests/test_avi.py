@@ -74,6 +74,20 @@ def test_loss_decreases_on_lightsout():
     assert losses[-1] < losses[0]
 
 
+def test_multistep_gbfs_update():
+    env = LightsOut(3)
+    cfg = AVIConfig(back_max=3, batch_size=64, states_per_update=128,
+                    loss_thresh=10.0, num_test=12, max_update_steps=4,
+                    eps_max=0.3, log_every=2)
+    t = AVITrainer(env, cfg, seed=2, model=tiny_model(env),
+                   log=lambda *a: None)
+    t.run_update()           # update 0: num_steps = 1
+    t.maybe_swap_target()
+    loss = t.run_update()    # update 1: num_steps = 2, gbfs trajectories
+    assert np.isfinite(loss)
+    assert t.update_num == 1
+
+
 def test_bellman_backup_solved_is_zero():
     env = NPuzzle(3)
     model = tiny_model(env)
