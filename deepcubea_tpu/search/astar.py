@@ -127,7 +127,9 @@ def make_astar_step(env: Environment, model: ResnetValueNet,
     a = env.num_actions
     w = env.state_width
 
-    @jax.jit
+    # donating the search state lets XLA update the node pool and hash
+    # table in place instead of copying hundreds of MB per iteration
+    @partial(jax.jit, donate_argnums=(0,))
     def step(s: SearchState, params, batch_stats) -> SearchState:
         i, c = s.f.shape
 

@@ -158,7 +158,7 @@ def make_train_chunk(env: Environment, model: ResnetValueNet, cfg: AVIConfig,
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(new_params, new_stats, new_opt, state.itr + 1), loss
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def chunk(state: TrainState, target_params, target_stats, key):
         keys = jax.random.split(key, chunk_len)
         return jax.lax.scan(
@@ -228,8 +228,13 @@ class AVITrainer:
         # fresh optimizer per update (reference nnet_utils.py:58)
         self.state = self.state._replace(opt_state=_adam().init(self.state.params))
 
-        target = (self.target_params if not all_zeros else self.state.params,
-                  self.target_stats if not all_zeros else self.state.batch_stats)
+        if all_zeros:
+            # dummy (unused in all-zeros labeling) — copied so it does not
+            # alias the donated train state
+            copy = lambda t: jax.tree_util.tree_map(jnp.array, t)  # noqa: E731
+            target = (copy(self.state.params), copy(self.state.batch_stats))
+        else:
+            target = (self.target_params, self.target_stats)
 
         done = 0
         t0 = time.time()
@@ -256,8 +261,11 @@ class AVITrainer:
         self.last_swapped = False
         if self.last_loss < self.cfg.loss_thresh:
             self.log("Updating target network")
-            self.target_params = self.state.params
-            self.target_stats = self.state.batch_stats
+            # materialize fresh buffers: the train state is donated to the
+            # jitted chunk, so the target must not alias it
+            copy = lambda t: jax.tree_util.tree_map(jnp.array, t)  # noqa: E731
+            self.target_params = copy(self.state.params)
+            self.target_stats = copy(self.state.batch_stats)
             self.update_num += 1
             self.last_swapped = True
         return self.last_swapped
