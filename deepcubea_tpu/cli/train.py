@@ -126,6 +126,11 @@ def main(argv=None):
         if getattr(t, "last_swapped", False):
             # current -> target only when the swap fired (avi.py:250-255)
             promote_to_target(curr_dir, targ_dir)
+        # structured learning-curve record
+        rec = dict(itr=t.itr, update_num=t.update_num, loss=t.last_loss,
+                   eval=getattr(t, "last_eval", None))
+        with open(os.path.join(model_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
     trainer.train(max_itrs=args.max_itrs, on_update_end=on_update_end)
 

@@ -192,6 +192,7 @@ class AVITrainer:
         self._chunk_cache = {}
         self.last_loss = float("inf")
         self.last_swapped = False
+        self.last_eval = None
 
     def _example_states(self):
         if hasattr(self.env, "goal_states"):
@@ -286,7 +287,7 @@ class AVITrainer:
         max_itrs = max_itrs if max_itrs is not None else self.cfg.max_itrs
         while self.itr < max_itrs:
             loss = self.run_update()
-            self.evaluate()
+            self.last_eval = self.evaluate()
             self.log(f"Last loss was {loss:f}")
             self.maybe_swap_target()
             if on_update_end is not None:
