@@ -253,9 +253,12 @@ def make_sharded_astar_step(env: Environment, model: ResnetValueNet,
         goal_id=shard, goal_f=shard, done=shard, num_generated=shard,
         pool_dropped=shard)
 
-    fn = shard_map(local_step, mesh=mesh,
-                   in_specs=(state_specs, P(), P()),
-                   out_specs=state_specs, check_rep=False)
+    kwargs = dict(mesh=mesh, in_specs=(state_specs, P(), P()),
+                  out_specs=state_specs)
+    try:  # manual collectives: disable replication/varying-axis checking
+        fn = shard_map(local_step, check_vma=False, **kwargs)
+    except TypeError:
+        fn = shard_map(local_step, check_rep=False, **kwargs)
     return jax.jit(fn, donate_argnums=(0,))
 
 
