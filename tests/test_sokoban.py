@@ -131,6 +131,26 @@ def test_hindsight_generation(reference_path, env):
     assert np.all(solved[d == 0])
 
 
+def test_astar_solves_crafted_board(env):
+    """End-to-end: BWAS with zero heuristic finds the known 3-move optimum
+    (right, push down, push down) on a crafted board — exercises per-state
+    goals flowing through search (SURVEY §7 hard part)."""
+    from tests.test_astar import zero_heuristic_model
+
+    from deepcubea_tpu.search import AStarConfig, BatchWeightedAStar
+    from deepcubea_tpu.utils import is_valid_solution
+
+    model, params, stats = zero_heuristic_model(env)
+    s = make_state(env, (1, 1), boxes=[(2, 2)], goals=[(4, 2)])
+    cfg = AStarConfig(weight=1.0, batch_size=8, pool_capacity=1 << 12,
+                      table_capacity=1 << 13, max_path_len=32)
+    solver = BatchWeightedAStar(env, model, params, stats, cfg)
+    res = solver.solve(s, max_iters=50)
+    assert res.solutions[0] is not None
+    assert len(res.solutions[0]) == 3
+    assert is_valid_solution(env, np.asarray(s)[0], res.solutions[0])
+
+
 def test_parity_with_reference(reference_path, env):
     from environments.sokoban import Sokoban as RefSokoban, SokobanState
 
