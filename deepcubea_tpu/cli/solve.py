@@ -45,6 +45,12 @@ def parse_args(argv=None):
                         "of the C++ proof rule")
     p.add_argument("--approx_pop", action="store_true", default=False)
     p.add_argument("--max_path_len", type=int, default=1024)
+    p.add_argument("--engine", type=str, default="device",
+                   choices=["device", "hybrid", "sharded"],
+                   help="device: fully on-accelerator batched BWAS; "
+                        "hybrid: C++ host frontier + device heuristic "
+                        "(the reference's --language cpp architecture); "
+                        "sharded: one frontier spread over all devices")
     p.add_argument("--nnet_batch_size", type=int, default=None,
                    help="accepted for reference-CLI parity; unused (the "
                         "heuristic evaluates in-program)")
@@ -100,22 +106,55 @@ def main(argv=None):
     model = build_model(nnet_config)
     params, stats = ckpt["params"], ckpt["batch_stats"]
 
-    cfg = AStarConfig(
-        weight=args.weight, batch_size=args.batch_size,
-        pool_capacity=args.pool_capacity, table_capacity=args.table_capacity,
-        first_goal=args.first_goal, approx_pop=args.approx_pop,
-        max_path_len=args.max_path_len)
-    solver = BatchWeightedAStar(env, model, params, stats, cfg)
+    print(f"devices: {jax.devices()}")
+    if args.engine == "hybrid":
+        from ..search.host_astar import HostAStar
+        host_solver = HostAStar(env, model, params, stats,
+                                weight=args.weight,
+                                batch_size=args.batch_size,
+                                table_capacity=args.table_capacity,
+                                first_goal=args.first_goal)
+        solve_batch = None
+    elif args.engine == "sharded":
+        from ..parallel import make_mesh
+        from ..search.astar_sharded import ShardedAStar, ShardedAStarConfig
+        scfg = ShardedAStarConfig(
+            weight=args.weight, batch_size=args.batch_size,
+            pool_capacity=args.pool_capacity,
+            table_capacity=args.table_capacity,
+            first_goal=args.first_goal, max_path_len=args.max_path_len)
+        sharded_solver = ShardedAStar(env, model, params, stats, scfg,
+                                      make_mesh(model_parallel=1))
+        solve_batch = None
+    else:
+        cfg = AStarConfig(
+            weight=args.weight, batch_size=args.batch_size,
+            pool_capacity=args.pool_capacity,
+            table_capacity=args.table_capacity,
+            first_goal=args.first_goal, approx_pop=args.approx_pop,
+            max_path_len=args.max_path_len)
+        solver = BatchWeightedAStar(env, model, params, stats, cfg)
+        solve_batch = solver.solve
+
+    if solve_batch is None:
+        args.instances = 1  # hybrid/sharded engines are one-instance-at-a-time
+
+        def solve_batch(roots, max_iters, verbose):
+            root = roots[0]
+            if args.engine == "hybrid":
+                return host_solver.solve_one(np.asarray(root),
+                                             max_iters=max_iters)
+            return sharded_solver.solve_one(root, max_iters=max_iters,
+                                            verbose=verbose)
 
     results = dict(states=states, solutions=[], paths=[], times=[],
                    num_nodes_generated=[])
-    print(f"devices: {jax.devices()}")
     for lo in range(0, n, args.instances):
         hi = min(lo + args.instances, n)
         roots = jnp.asarray(states[lo:hi])
         t0 = time.time()
-        res = solver.solve(roots, max_iters=args.max_iters,
-                           verbose=args.verbose)
+        res = solve_batch(roots, max_iters=args.max_iters,
+                          verbose=args.verbose)
         batch_time = time.time() - t0
 
         for j in range(hi - lo):

@@ -72,3 +72,20 @@ def test_train_solve_compare_pipeline(workdir, capsys):
                   "--soln2", "results/results.pkl"])
     out = capsys.readouterr().out
     assert "% equal to soln1 length: 100.00%" in out
+
+    # alternate engines solve the same set (4 states to keep it quick)
+    import shutil
+    for engine in (["hybrid"] if shutil.which("g++") else []) + ["sharded"]:
+        solve.main(["--states", "testset/data_0.pkl", "--model",
+                    "saved_models/lo3/current", "--env", "lightsout3",
+                    "--weight", "1.0", "--batch_size", "16",
+                    "--end_idx", "4", "--engine", engine,
+                    "--pool_capacity", "4096", "--table_capacity", "8192",
+                    "--results_dir", f"results_{engine}", "--max_iters",
+                    "100", "--debug"])
+        capsys.readouterr()
+        with open(os.path.join(workdir, f"results_{engine}",
+                               "results.pkl"), "rb") as f:
+            res_e = pickle.load(f)
+        # all solved; validity is asserted inside the CLI itself
+        assert all(s is not None for s in res_e["solutions"])
