@@ -54,12 +54,20 @@ class AStarConfig:
     first_goal: bool = False      # True = Python semantics (stop at first goal)
     approx_pop: bool = False      # use approx top-k (faster on TPU, ~same quality)
     max_path_len: int = 512
+    #: fraction of batch_size * num_actions children evaluated by the net
+    #: per step. Children are deduped FIRST; only accepted ones consume NN
+    #: budget (the reference C++ ships every child to the GPU,
+    #: cpp:236-237). Accepted children beyond the budget are pushed with
+    #: the provisional heuristic max(h_parent - 1, 0) — the C++ binary's
+    #: own placeholder rule (cpp:224-225) — so nothing is lost.
+    eval_budget_fraction: float = 1.0
 
 
 class SearchState(NamedTuple):
     states: jnp.ndarray   # (I, C, W) uint8
     g: jnp.ndarray        # (I, C) int32
     f: jnp.ndarray        # (I, C) f32; +inf = not in open
+    h: jnp.ndarray        # (I, C) f32 heuristic at insert (real or provisional)
     parent: jnp.ndarray   # (I, C) int32 pool slot of parent, -1 for root
     action: jnp.ndarray   # (I, C) int32 action from parent, -1 for root
     size: jnp.ndarray     # (I,) int32 allocated nodes
@@ -89,6 +97,7 @@ def astar_init(env: Environment, cfg: AStarConfig,
     states = jnp.zeros((i, c, w), roots.dtype).at[:, 0, :].set(roots)
     g = jnp.zeros((i, c), jnp.int32)
     f = jnp.full((i, c), INF_F).at[:, 0].set(0.0)  # root pops first
+    h_arr = jnp.zeros((i, c), jnp.float32)
     parent = jnp.full((i, c), -1, jnp.int32)
     action = jnp.full((i, c), -1, jnp.int32)
 
@@ -107,7 +116,7 @@ def astar_init(env: Environment, cfg: AStarConfig,
 
     solved_root = env.is_solved(roots)
     return SearchState(
-        states=states, g=g, f=f, parent=parent, action=action,
+        states=states, g=g, f=f, h=h_arr, parent=parent, action=action,
         size=jnp.ones((i,), jnp.int32), tbl=tbl,
         weight=jnp.asarray(weights, jnp.float32),
         goal_id=jnp.where(solved_root, 0, -1).astype(jnp.int32),
@@ -165,25 +174,44 @@ def make_astar_step(env: Environment, model: ResnetValueNet,
         child_g = jnp.broadcast_to((pop_g + 1)[:, :, None],
                                    (i, b, a)).reshape(i, b * a)
         valid_ch = jnp.repeat(valid_pop, a, axis=1)    # (I, B*A)
+        solved = env.is_solved(flat_ch).reshape(i, b * a)
 
-        # ---- heuristic for every child in-program (vs. socket RPC) ------
-        h_vals = heuristic_values(env, model, params, batch_stats, flat_ch,
-                                  clip_zero=True)
-        solved = env.is_solved(flat_ch)
-        h_vals = h_vals.reshape(i, b * a)
-        solved = solved.reshape(i, b * a)
-        child_f = (s.weight[:, None] * child_g.astype(jnp.float32)
-                   + h_vals * (1.0 - solved.astype(jnp.float32)))
-
-        # ---- closed-set dedup + reopen (astar.py:78-90, cpp:243-265) ----
+        # ---- closed-set dedup + reopen FIRST (astar.py:78-90) -----------
         cfp0, cfp1 = fingerprint(flat_ch, consts)
         tbl, accept, ovf = jax.vmap(
             partial(ht_insert, max_probes=cfg.max_probes))(
             s.tbl, cfp0.reshape(i, b * a), cfp1.reshape(i, b * a),
             child_g, valid_ch)
+        offs = jnp.cumsum(accept.astype(jnp.int32), axis=1) - 1
+
+        # ---- heuristic: accepted children only, up to the NN budget ------
+        # (the reference C++ evaluates every child before dedup,
+        # cpp:236-237; evaluating survivors only cuts the dominant cost)
+        n_eval = max(1, int(round(b * a * cfg.eval_budget_fraction)))
+        pop_h = s.h[rows, pop_idx]                     # (I, B)
+        prov_h = jnp.maximum(
+            jnp.repeat(pop_h - 1.0, a, axis=1), 0.0)   # cpp:224-225
+        if n_eval >= b * a:
+            h_flat = heuristic_values(env, model, params, batch_stats,
+                                      flat_ch, clip_zero=True)
+            h_vals = jnp.where(accept, h_flat.reshape(i, b * a), prov_h)
+        else:
+            sel = accept & (offs < n_eval)
+            rows_i = jnp.arange(i)[:, None]
+            slot = jnp.where(sel, offs, n_eval)
+            buf = jnp.zeros((i, n_eval, w), flat_ch.dtype)
+            buf = jax.vmap(lambda bu, sl, v: bu.at[sl].set(v, mode="drop"))(
+                buf, slot, flat_ch.reshape(i, b * a, w))
+            h_buf = heuristic_values(env, model, params, batch_stats,
+                                     buf.reshape(i * n_eval, w),
+                                     clip_zero=True).reshape(i, n_eval)
+            h_back = h_buf[rows_i, jnp.minimum(slot, n_eval - 1)]
+            h_vals = jnp.where(sel, h_back, prov_h)
+
+        child_f = (s.weight[:, None] * child_g.astype(jnp.float32)
+                   + h_vals * (1.0 - solved.astype(jnp.float32)))
 
         # ---- allocate accepted children into the pool -------------------
-        offs = jnp.cumsum(accept.astype(jnp.int32), axis=1) - 1
         dest = s.size[:, None] + offs                  # (I, B*A)
         fits = dest < c
         put = accept & fits
@@ -200,6 +228,7 @@ def make_astar_step(env: Environment, model: ResnetValueNet,
 
         states_new = scatter(s.states, ch_states)
         g_new = scatter(s.g, child_g)
+        h_new = scatter(s.h, h_vals)
         parent_new = scatter(s.parent, parent_slot)
         action_new = scatter(s.action, jnp.broadcast_to(act_ids, (i, b * a)))
         # solved children are terminal: never re-expanded (goal tracked below)
@@ -229,7 +258,7 @@ def make_astar_step(env: Environment, model: ResnetValueNet,
             done = s.done | proof | exhausted
 
         return SearchState(
-            states=states_new, g=g_new, f=f_new, parent=parent_new,
+            states=states_new, g=g_new, f=f_new, h=h_new, parent=parent_new,
             action=action_new, size=size_new, tbl=tbl, weight=s.weight,
             goal_id=goal_id, goal_f=goal_f, done=done,
             num_generated=s.num_generated

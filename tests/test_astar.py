@@ -122,6 +122,41 @@ def test_node_accounting(lo2):
     assert res.num_generated.max() <= 16 * 4 * cfg.batch_size
 
 
+@pytest.mark.parametrize("budget", [1.0, 0.3])
+def test_eval_budget_preserves_optimality(lo2, budget):
+    """Dedup-before-eval with a tight NN budget: overflow children ride the
+    provisional heuristic (= 0 here), so weight-1 search stays optimal."""
+    env, model, params, stats = lo2
+    states, dists = all_states_with_dists(env)
+    cfg = AStarConfig(weight=1.0, batch_size=4, pool_capacity=1 << 10,
+                      table_capacity=1 << 11, max_path_len=32,
+                      eval_budget_fraction=budget)
+    solver = BatchWeightedAStar(env, model, params, stats, cfg)
+    res = solver.solve(jnp.asarray(states), max_iters=200)
+    for i in range(states.shape[0]):
+        assert res.solutions[i] is not None
+        assert len(res.solutions[i]) == dists[i]
+
+
+def test_eval_budget_with_learned_heuristic():
+    env = LightsOut(3)
+    from deepcubea_tpu.models import init_variables
+    cfgm = dict(env.nnet_config)
+    cfgm.update(h1_dim=32, resnet_dim=16, num_resnet_blocks=1)
+    model = build_model(cfgm)
+    params, stats = init_variables(model, jax.random.PRNGKey(3),
+                                   env.encode(env.goal_states(2)))
+    states, _ = env.generate_scrambles(jax.random.PRNGKey(4), 4, 4)
+    cfg = AStarConfig(weight=0.8, batch_size=16, pool_capacity=1 << 14,
+                      table_capacity=1 << 15, max_path_len=64,
+                      eval_budget_fraction=0.5)
+    solver = BatchWeightedAStar(env, model, params, stats, cfg)
+    res = solver.solve(states, max_iters=500)
+    for i in range(4):
+        assert res.solutions[i] is not None
+        assert is_valid_solution(env, np.asarray(states)[i], res.solutions[i])
+
+
 def test_stale_pops_leave_open_list(np2):
     """Reopened states create stale open entries; a stale pop must be
     consumed (not re-popped forever) and an all-stale round must not count
