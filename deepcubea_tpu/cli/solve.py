@@ -44,6 +44,9 @@ def parse_args(argv=None):
                    help="Python-reference termination (first goal) instead "
                         "of the C++ proof rule")
     p.add_argument("--approx_pop", action="store_true", default=False)
+    p.add_argument("--eval_budget", type=float, default=1.0,
+                   help="fraction of children given real NN heuristics per "
+                        "step (device engine); overflow uses provisionals")
     p.add_argument("--max_path_len", type=int, default=1024)
     p.add_argument("--engine", type=str, default="device",
                    choices=["device", "hybrid", "sharded"],
@@ -132,7 +135,8 @@ def main(argv=None):
             pool_capacity=args.pool_capacity,
             table_capacity=args.table_capacity,
             first_goal=args.first_goal, approx_pop=args.approx_pop,
-            max_path_len=args.max_path_len)
+            max_path_len=args.max_path_len,
+            eval_budget_fraction=args.eval_budget)
         solver = BatchWeightedAStar(env, model, params, stats, cfg)
         solve_batch = solver.solve
 
