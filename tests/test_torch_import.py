@@ -1,0 +1,54 @@
+"""Torch checkpoint import: EXACT forward equivalence between the reference
+torch ResnetModel and our flax net under imported weights — the strongest
+architecture-parity check (BN statistics included)."""
+
+import numpy as np
+import pytest
+
+from deepcubea_tpu.envs import Cube3
+from deepcubea_tpu.models import build_model, forward_eval
+from deepcubea_tpu.utils.torch_import import import_torch_state_dict
+
+
+def test_forward_equivalence_with_reference_torch(reference_path):
+    torch = pytest.importorskip("torch")
+    from utils.pytorch_models import ResnetModel
+
+    torch.manual_seed(0)
+    ref = ResnetModel(54, 6, 64, 32, 2, 1, True)
+    ref.eval()
+    # make BN running stats non-trivial
+    with torch.no_grad():
+        ref.train()
+        for _ in range(3):
+            ref(torch.randint(0, 6, (32, 54)))
+        ref.eval()
+
+    params, stats = import_torch_state_dict(ref.state_dict(),
+                                            num_resnet_blocks=2)
+
+    import jax.numpy as jnp
+    env = Cube3()
+    model = build_model(dict(state_dim=54, one_hot_depth=6, h1_dim=64,
+                             resnet_dim=32, num_resnet_blocks=2, out_dim=1,
+                             batch_norm=True), dtype=jnp.float32)
+
+    x = np.random.RandomState(1).randint(0, 6, (16, 54))
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()[:, 0]
+    ours = np.asarray(forward_eval(model, params, stats, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=1e-4)
+
+
+def test_dataparallel_prefix_stripped():
+    sd = {
+        "module.fc1.weight": np.zeros((8, 4), np.float32),
+        "module.fc1.bias": np.zeros((8,), np.float32),
+        "module.fc2.weight": np.zeros((2, 8), np.float32),
+        "module.fc2.bias": np.zeros((2,), np.float32),
+        "module.fc_out.weight": np.zeros((1, 2), np.float32),
+        "module.fc_out.bias": np.zeros((1,), np.float32),
+    }
+    params, stats = import_torch_state_dict(sd, num_resnet_blocks=0)
+    assert params["fc1"]["kernel"].shape == (4, 8)
+    assert stats == {}
