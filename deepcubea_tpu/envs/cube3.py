@@ -148,9 +148,14 @@ class Cube3(Environment):
     # dynamics ---------------------------------------------------------- #
 
     def step(self, states: jnp.ndarray, actions: jnp.ndarray) -> jnp.ndarray:
-        # gather each state's permutation row, then gather stickers
-        perm = self._perms[actions]  # (B, W)
-        return jnp.take_along_axis(states, perm, axis=1)
+        # All-action children via a STATIC gather (constant indices compile
+        # to pure data movement), then a one-hot select over the small action
+        # axis. A per-state dynamic gather (take_along_axis) is ~25x slower
+        # on TPU in a scramble scan: dynamic lane gathers don't vectorize.
+        children = states[:, self._perms]  # (B, A, W)
+        sel = actions[:, None] == jnp.arange(self.num_actions)[None, :]
+        return jnp.sum(children * sel[:, :, None].astype(states.dtype),
+                       axis=1).astype(states.dtype)
 
     def expand(self, states: jnp.ndarray):
         # one 3-D gather: (B, W) indexed by (A, W) -> (B, A, W)
