@@ -87,7 +87,6 @@ def main(argv=None):
     from ..models import build_model
     from ..search import AStarConfig, BatchWeightedAStar
     from ..utils import is_valid_solution
-    from ..utils.checkpoint import load_checkpoint
     from ..utils.logger import install_logger
 
     args = parse_args(argv)
@@ -102,24 +101,8 @@ def main(argv=None):
     states = states[args.start_idx:end]
     n = states.shape[0]
 
-    # accept our msgpack checkpoints OR reference torch checkpoints
-    # (model_state_dict.pt / *.pt) via the weight importer
-    pt_path = None
-    if args.model.endswith(".pt"):
-        pt_path = args.model
-    elif os.path.isfile(os.path.join(args.model, "model_state_dict.pt")):
-        pt_path = os.path.join(args.model, "model_state_dict.pt")
-    if pt_path is not None:
-        from ..utils.torch_import import import_torch_checkpoint
-        nnet_config = env.nnet_config
-        params, stats = import_torch_checkpoint(
-            pt_path, nnet_config["num_resnet_blocks"])
-    else:
-        ckpt = load_checkpoint(args.model)
-        if ckpt is None:
-            raise SystemExit(f"no checkpoint at {args.model}")
-        nnet_config = ckpt["meta"].get("nnet_config") or env.nnet_config
-        params, stats = ckpt["params"], ckpt["batch_stats"]
+    from ._common import load_model_variables
+    params, stats, nnet_config = load_model_variables(args.model, env)
     model = build_model(nnet_config)
 
     print(f"devices: {jax.devices()}")

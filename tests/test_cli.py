@@ -73,6 +73,17 @@ def test_train_solve_compare_pipeline(workdir, capsys):
     out = capsys.readouterr().out
     assert "% equal to soln1 length: 100.00%" in out
 
+    # gbfs eval CLI: data mode on the generated shard + fresh-scramble mode
+    from deepcubea_tpu.cli import gbfs
+    gbfs.main(["--model", "saved_models/lo3/current", "--env", "lightsout3",
+               "--states", "testset", "--max_steps", "6"])
+    out = capsys.readouterr().out
+    assert "%solved" in out
+    gbfs.main(["--model", "saved_models/lo3/current", "--env", "lightsout3",
+               "--num_states", "12", "--back_max", "3"])
+    out = capsys.readouterr().out
+    assert "Back Steps" in out
+
     # alternate engines solve the same set (4 states to keep it quick)
     import shutil
     for engine in (["hybrid"] if shutil.which("g++") else []) + ["sharded"]:
