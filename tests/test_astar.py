@@ -195,3 +195,26 @@ def test_learned_heuristic_still_valid():
     for i in range(8):
         assert res.solutions[i] is not None
         assert is_valid_solution(env, states_np[i], res.solutions[i])
+
+
+def test_pool_overflow_graceful():
+    """A pool too small for the search: children beyond the effective
+    capacity (pool minus the block-write slack) are dropped and counted,
+    size never exceeds it, and any solution found still replays valid."""
+    env = LightsOut(3)  # 512 states, 9 actions
+    model, params, stats = zero_heuristic_model(env)
+    cfg = AStarConfig(weight=1.0, batch_size=4, pool_capacity=128,
+                      table_capacity=1 << 10, max_path_len=32)
+    c_eff = cfg.pool_capacity - cfg.batch_size * env.num_actions
+    key = jax.random.PRNGKey(7)
+    roots, _ = env.generate_scrambles(
+        key, 3, 8, depths=jnp.full((3,), 8, jnp.int32))
+    solver = BatchWeightedAStar(env, model, params, stats, cfg)
+    res = solver.solve(jnp.asarray(roots), max_iters=40)
+    assert (res.pool_dropped > 0).any()
+    for i, soln in enumerate(res.solutions):
+        if soln is not None:
+            assert is_valid_solution(env, np.asarray(roots)[i], soln)
+    # the open list never references slack rows
+    assert res.num_generated.max() <= 40 * cfg.batch_size * env.num_actions
+    assert c_eff > 0
