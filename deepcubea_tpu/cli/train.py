@@ -45,6 +45,9 @@ def parse_args(argv=None):
     p.add_argument("--back_max", type=int, required=True)
     # model
     p.add_argument("--nnet_name", type=str, required=True)
+    p.add_argument("--update_num", type=int, default=None,
+                   help="override the starting update number (reference "
+                        "avi.py:89, used after a manual target promotion)")
     p.add_argument("--save_dir", type=str, default="saved_models")
     p.add_argument("--seed", type=int, default=0)
     # architecture overrides (default: the reference architecture per env)
@@ -117,6 +120,9 @@ def main(argv=None):
                 jnp.asarray, tgt["params"])
             trainer.target_stats = jax.tree_util.tree_map(
                 jnp.asarray, tgt["batch_stats"])
+
+    if args.update_num is not None:
+        trainer.update_num = args.update_num
 
     def on_update_end(t: AVITrainer):
         meta = dict(itr=t.itr, update_num=t.update_num,
