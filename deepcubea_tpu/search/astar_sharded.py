@@ -126,6 +126,9 @@ def make_sharded_astar_step(env: Environment, model: ResnetValueNet,
     w = env.state_width
     cl = cfg.pool_capacity // k        # pool slots per shard
     nc = bl * a                        # children per shard per step
+    assert cl > 2 * k * nc, (
+        "per-shard pool must exceed 2x the received-children block "
+        "(pool_capacity//K > 2*batch_size*num_actions)")
     weight = jnp.float32(cfg.weight)
 
     def local_step(s: ShardedSearchState, params, batch_stats):
@@ -196,21 +199,33 @@ def make_sharded_astar_step(env: Environment, model: ResnetValueNet,
         r_solved = env.is_solved(r_states) & r_valid
 
         # ---- dedup + allocate into the local shard ----------------------
+        # accepted children land contiguously from `size`: compact into a
+        # dense buffer + one block write, as in astar.py (the last nr pool
+        # rows are slack so the block never clamps; buffer tails carry
+        # f=+inf so slack rows never enter the open list)
         tbl, accept, _ovf = ht_insert(s.tbl, r_fp0, r_fp1, r_g, r_valid,
                                       cfg.max_probes)
+        nr = k * nc
+        cl_eff = cl - nr
         offs = jnp.cumsum(accept.astype(jnp.int32)) - 1
         local_dest = s.size[0] + offs
-        fits = local_dest < cl
+        fits = local_dest < cl_eff
         put = accept & fits
         dropped = jnp.sum((accept & ~fits).astype(jnp.int32))
-        dest_safe = jnp.where(put, local_dest, cl)
+        buf_slot = jnp.where(put, offs, nr)
 
-        states_new = s.states.at[dest_safe].set(r_states, mode="drop")
-        g_new = s.g.at[dest_safe].set(r_g, mode="drop")
-        parent_new = s.parent.at[dest_safe].set(r_parent, mode="drop")
-        action_new = s.action.at[dest_safe].set(r_action, mode="drop")
+        def block_write(pool, vals, fill):
+            buf = jnp.full((nr,) + vals.shape[1:], fill, pool.dtype)
+            buf = buf.at[buf_slot].set(vals.astype(pool.dtype), mode="drop")
+            start = (s.size[0],) + (jnp.int32(0),) * (pool.ndim - 1)
+            return jax.lax.dynamic_update_slice(pool, buf, start)
+
+        states_new = block_write(s.states, r_states, 0)
+        g_new = block_write(s.g, r_g, 0)
+        parent_new = block_write(s.parent, r_parent, -1)
+        action_new = block_write(s.action, r_action, -1)
         open_f = jnp.where(r_solved, INF_F, r_f)
-        f_new = f_new.at[dest_safe].set(open_f, mode="drop")
+        f_new = block_write(f_new, open_f, INF_F)
         size_new = s.size + jnp.sum(put.astype(jnp.int32))
 
         # ---- goal + termination (global reductions) ----------------------
