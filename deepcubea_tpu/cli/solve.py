@@ -44,6 +44,9 @@ def parse_args(argv=None):
                    help="Python-reference termination (first goal) instead "
                         "of the C++ proof rule")
     p.add_argument("--approx_pop", action="store_true", default=False)
+    p.add_argument("--sort_by_h", action="store_true", default=False,
+                   help="batch similar-difficulty states together (ordered "
+                        "by initial heuristic); results keep input order")
     p.add_argument("--eval_budget", type=float, default=1.0,
                    help="fraction of children given real NN heuristics per "
                         "step (device engine); overflow uses provisionals")
@@ -147,31 +150,42 @@ def main(argv=None):
             return sharded_solver.solve_one(root, max_iters=max_iters,
                                             verbose=verbose)
 
-    results = dict(states=states, solutions=[], paths=[], times=[],
-                   num_nodes_generated=[])
+    # instances in one lockstep batch run until the LAST one terminates, so
+    # grouping similar-difficulty states together wastes less compute on
+    # finished slots; the initial heuristic value is the difficulty proxy
+    order = np.arange(n)
+    if args.sort_by_h and n > args.instances:
+        from ..training.heuristic import heuristic_values
+        h0 = np.asarray(heuristic_values(env, model, params, stats,
+                                         jnp.asarray(states)))
+        order = np.argsort(h0, kind="stable")
+
+    results = dict(states=states,
+                   solutions=[None] * n, paths=[None] * n,
+                   times=[0.0] * n, num_nodes_generated=[0] * n)
     for lo in range(0, n, args.instances):
         hi = min(lo + args.instances, n)
-        roots = jnp.asarray(states[lo:hi])
+        batch_idx = order[lo:hi]
+        roots = jnp.asarray(states[batch_idx])
         t0 = time.time()
         res = solve_batch(roots, max_iters=args.max_iters,
                           verbose=args.verbose)
         batch_time = time.time() - t0
 
         for j in range(hi - lo):
-            idx = lo + j
+            idx = int(batch_idx[j])
             soln = res.solutions[j]
             t = batch_time / (hi - lo)
-            results["solutions"].append(soln)
-            results["times"].append(t)
-            results["num_nodes_generated"].append(int(res.num_generated[j]))
+            results["solutions"][idx] = soln
+            results["times"][idx] = t
+            results["num_nodes_generated"][idx] = int(res.num_generated[j])
             if soln is None:
                 print(f"State: {idx}, UNSOLVED "
                       f"(pool_dropped={int(res.pool_dropped[j])})")
-                results["paths"].append(None)
                 continue
             assert is_valid_solution(env, states[idx], soln), idx
             path = _replay_path(env, states[idx], soln)
-            results["paths"].append(path)
+            results["paths"][idx] = path
             print("State: %i, SolnCost: %.2f, # Moves: %i, "
                   "# Nodes Gen: %s, Time: %.2f" % (
                       idx, float(len(soln)), len(soln),

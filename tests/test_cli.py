@@ -6,6 +6,7 @@ import json
 import os
 import pickle
 
+import numpy as np
 import pytest
 
 
@@ -72,6 +73,22 @@ def test_train_solve_compare_pipeline(workdir, capsys):
                   "--soln2", "results/results.pkl"])
     out = capsys.readouterr().out
     assert "% equal to soln1 length: 100.00%" in out
+
+    # sorted-by-difficulty batching returns results in input order with the
+    # same (optimal, weight-1) solution lengths
+    solve.main(["--states", "testset/data_0.pkl", "--model",
+                "saved_models/lo3/current", "--env", "lightsout3",
+                "--weight", "1.0", "--batch_size", "16", "--instances", "4",
+                "--sort_by_h", "--pool_capacity", "4096", "--table_capacity",
+                "8192", "--results_dir", "results_sorted", "--max_iters",
+                "100", "--debug"])
+    capsys.readouterr()
+    with open(os.path.join(workdir, "results_sorted", "results.pkl"),
+              "rb") as f:
+        res_s = pickle.load(f)
+    assert [len(s) for s in res_s["solutions"]] == \
+        [len(s) for s in res["solutions"]]
+    np.testing.assert_array_equal(res_s["states"], res["states"])
 
     # gbfs eval CLI: data mode on the generated shard + fresh-scramble mode
     from deepcubea_tpu.cli import gbfs
