@@ -114,3 +114,20 @@ def test_zero_key_remap():
                                jnp.ones(1, bool))
     assert np.asarray(accept).all()
     np.testing.assert_array_equal(np.asarray(ht_lookup(tbl, fp0, fp1)), 0)
+
+
+def test_multi_pass_reduces_contention_overflow():
+    """Single-pass inserts lose same-slot contention to foreign keys (the
+    birthday bound); each extra pass shrinks the loss quadratically."""
+    tbl1 = ht_new(256)
+    tbl3 = ht_new(256)
+    fp0, fp1 = mk(128, seed=11)
+    g = jnp.zeros((128,), jnp.int32)
+    v = jnp.ones(128, bool)
+    _, _, ovf1 = ht_insert(tbl1, fp0, fp1, g, v, passes=1)
+    tbl3, acc3, ovf3 = ht_insert(tbl3, fp0, fp1, g, v, passes=3)
+    assert int(ovf3) <= int(ovf1)
+    assert int(ovf3) <= 2
+    # everything that was stored reads back
+    got = np.asarray(ht_lookup(tbl3, fp0, fp1))
+    assert (got[np.asarray(acc3)] == 0).all()
