@@ -48,6 +48,9 @@ def parse_args(argv=None):
     p.add_argument("--update_num", type=int, default=None,
                    help="override the starting update number (reference "
                         "avi.py:89, used after a manual target promotion)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of the first update "
+                        "phase into this directory (TensorBoard-viewable)")
     p.add_argument("--save_dir", type=str, default="saved_models")
     p.add_argument("--seed", type=int, default=0)
     # architecture overrides (default: the reference architecture per env)
@@ -137,6 +140,16 @@ def main(argv=None):
                    eval=getattr(t, "last_eval", None))
         with open(os.path.join(model_dir, "metrics.jsonl"), "a") as f:
             f.write(json.dumps(rec) + "\n")
+
+    if args.profile_dir:
+        # trace one update phase (the steady-state workload), then continue
+        from ..utils.profiling import trace
+        with trace(args.profile_dir):
+            trainer.run_update()
+        trainer.last_eval = trainer.evaluate()
+        trainer.maybe_swap_target()
+        on_update_end(trainer)
+        print(f"profile written to {args.profile_dir}")
 
     trainer.train(max_itrs=args.max_itrs, on_update_end=on_update_end)
 
