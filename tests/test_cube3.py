@@ -114,3 +114,25 @@ def test_parity_with_reference_transitions(reference_path, env, rng):
         ours = np.asarray(env.step(jnp.asarray(states_np),
                                    jnp.full((16,), a, jnp.int32)))
         np.testing.assert_array_equal(ours, ref_next)
+
+
+def test_scramble_generation_fixed_seed_golden(env):
+    """Regression guard: scramble generation is deterministic under a fixed
+    PRNG key (SURVEY.md §4 'fixed-seed golden tests'). The digest pins the
+    jax.random stream + scan semantics on the CPU backend; depths are
+    uniform on [0, back_max] and every state is reachable within its depth.
+    If a jax upgrade rotates the PRNG stream this digest moves — re-pin it
+    after confirming the distribution checks still hold."""
+    import hashlib
+
+    import jax
+
+    states, depths = env.generate_scrambles(jax.random.PRNGKey(1234), 512, 30)
+    states, depths = np.asarray(states), np.asarray(depths)
+    assert hashlib.sha256(states.tobytes()).hexdigest()[:16] == \
+        "6a6ceb7b3925584d"
+    assert depths.min() == 0 and depths.max() == 30
+    assert abs(depths.mean() - 15.0) < 1.5
+    # depth-0 states are the goal exactly
+    goal = np.arange(54, dtype=np.uint8)
+    assert (states[depths == 0] == goal).all()
