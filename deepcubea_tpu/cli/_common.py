@@ -12,8 +12,14 @@ import os
 from typing import Tuple
 
 
-def load_model_variables(model_path: str, env) -> Tuple[dict, dict, dict]:
-    """Returns (params, batch_stats, nnet_config) from `model_path`."""
+def load_model_variables(model_path: str, env,
+                         nnet_overrides: dict | None = None,
+                         ) -> Tuple[dict, dict, dict]:
+    """Returns (params, batch_stats, nnet_config) from `model_path`.
+
+    `nnet_overrides` adjusts the architecture assumed for bare torch
+    checkpoints (which carry no shape metadata); our own checkpoints embed
+    their config."""
     pt_path = None
     if model_path.endswith(".pt"):
         pt_path = model_path
@@ -21,7 +27,8 @@ def load_model_variables(model_path: str, env) -> Tuple[dict, dict, dict]:
         pt_path = os.path.join(model_path, "model_state_dict.pt")
     if pt_path is not None:
         from ..utils.torch_import import import_torch_checkpoint
-        nnet_config = env.nnet_config
+        nnet_config = dict(env.nnet_config)
+        nnet_config.update(nnet_overrides or {})
         params, stats = import_torch_checkpoint(
             pt_path, nnet_config["num_resnet_blocks"])
         return params, stats, nnet_config

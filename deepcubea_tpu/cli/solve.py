@@ -63,6 +63,10 @@ def parse_args(argv=None):
     p.add_argument("--language", type=str, default="tpu",
                    help="accepted for reference-CLI parity; always tpu")
     p.add_argument("--verbose", action="store_true", default=False)
+    for k in ("h1_dim", "resnet_dim", "num_resnet_blocks"):
+        p.add_argument(f"--{k}", type=int, default=None,
+                       help="nnet shape override (for non-default torch "
+                            ".pt checkpoints; ours carry their config)")
     p.add_argument("--debug", action="store_true", default=False)
     return p.parse_args(argv)
 
@@ -105,7 +109,11 @@ def main(argv=None):
     n = states.shape[0]
 
     from ._common import load_model_variables
-    params, stats, nnet_config = load_model_variables(args.model, env)
+    overrides = {k: getattr(args, k)
+                 for k in ("h1_dim", "resnet_dim", "num_resnet_blocks")
+                 if getattr(args, k) is not None}
+    params, stats, nnet_config = load_model_variables(args.model, env,
+                                                      overrides)
     model = build_model(nnet_config)
 
     print(f"devices: {jax.devices()}")

@@ -52,3 +52,39 @@ def test_dataparallel_prefix_stripped():
     params, stats = import_torch_state_dict(sd, num_resnet_blocks=0)
     assert params["fc1"]["kernel"].shape == (4, 8)
     assert stats == {}
+
+
+def test_solve_cli_accepts_torch_pt(reference_path, tmp_path):
+    """The migration path end-to-end: a reference-format torch checkpoint
+    file drives the solve CLI directly (nnet_utils.py:134-152 load shape)."""
+    torch = pytest.importorskip("torch")
+    from utils.pytorch_models import ResnetModel
+
+    from deepcubea_tpu.cli import solve
+    from deepcubea_tpu.envs import get_environment
+
+    env = get_environment("lightsout3")
+    torch.manual_seed(0)
+    ref = ResnetModel(env.state_width, env.one_hot_depth, 32, 16, 1, 1, True)
+    pt = tmp_path / "model_state_dict.pt"
+    torch.save(ref.state_dict(), pt)
+
+    import jax
+    states, _ = env.generate_scrambles(jax.random.PRNGKey(3), 6, 2)
+    import numpy as np
+    import pickle
+    states_pkl = tmp_path / "states.pkl"
+    with open(states_pkl, "wb") as f:
+        pickle.dump({"states": np.asarray(states)}, f)
+
+    solve.main(["--states", str(states_pkl), "--model", str(pt),
+                "--env", "lightsout3", "--weight", "1.0",
+                "--batch_size", "16", "--instances", "6",
+                "--h1_dim", "32", "--resnet_dim", "16",
+                "--num_resnet_blocks", "1",
+                "--pool_capacity", "4096", "--table_capacity", "8192",
+                "--results_dir", str(tmp_path / "res"),
+                "--max_iters", "64", "--debug"])
+    with open(tmp_path / "res" / "results.pkl", "rb") as f:
+        res = pickle.load(f)
+    assert all(s is not None for s in res["solutions"])
