@@ -48,6 +48,13 @@ def parse_args(argv=None):
     p.add_argument("--update_num", type=int, default=None,
                    help="override the starting update number (reference "
                         "avi.py:89, used after a manual target promotion)")
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="devices on the mesh 'data' axis (batch sharding); "
+                        "replaces the reference's DataParallel + worker "
+                        "pool (avi.py:200-202, updater.py:100-112)")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="devices on the mesh 'model' axis (fc1 tensor "
+                        "parallelism)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the first update "
                         "phase into this directory (TensorBoard-viewable)")
@@ -104,16 +111,22 @@ def main(argv=None):
 
     from ..models import build_model
     print(f"devices: {jax.devices()}")
+    mesh = None
+    if args.data_parallel * args.model_parallel > 1:
+        from ..parallel import make_mesh
+        mesh = make_mesh(args.data_parallel * args.model_parallel,
+                         model_parallel=args.model_parallel)
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
     trainer = AVITrainer(env, cfg, seed=args.seed,
-                         model=build_model(nnet_config))
+                         model=build_model(nnet_config), mesh=mesh)
 
     # resume (reference avi.py:162-173)
     ckpt = load_checkpoint(curr_dir)
     if ckpt is not None:
-        trainer.state = trainer.state._replace(
+        trainer.state = trainer._shard_state(trainer.state._replace(
             params=jax.tree_util.tree_map(jnp.asarray, ckpt["params"]),
             batch_stats=jax.tree_util.tree_map(jnp.asarray, ckpt["batch_stats"]),
-            itr=jnp.asarray(ckpt["meta"].get("itr", 0), jnp.int32))
+            itr=jnp.asarray(ckpt["meta"].get("itr", 0), jnp.int32)))
         trainer.update_num = ckpt["meta"].get("update_num", 0)
         print(f"resumed from {curr_dir}: itr {trainer.itr}, "
               f"update {trainer.update_num}")

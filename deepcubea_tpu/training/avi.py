@@ -174,18 +174,26 @@ class AVITrainer:
 
     def __init__(self, env: Environment, cfg: AVIConfig,
                  seed: int = 0, model: Optional[ResnetValueNet] = None,
-                 log=print):
+                 log=print, mesh=None):
+        """With `mesh`, every update phase runs data-parallel (and
+        optionally fc1-tensor-parallel) over it: parameters and optimizer
+        state follow `parallel.mesh.param_shardings`, the batch axis shards
+        over "data" inside the jitted chunk. This is the CLI-reachable
+        replacement for the reference's DataParallel + 30-process updater
+        pool (SURVEY.md §2.3)."""
         self.env = env
         self.cfg = cfg
         self.log = log
         self.model = model or build_model(env.nnet_config)
         self.key = jax.random.PRNGKey(seed)
+        self.mesh = mesh
 
         self.key, k_init = jax.random.split(self.key)
         example = env.encode(self._example_states())
         params, batch_stats = init_variables(self.model, k_init, example)
-        self.state = TrainState(params, batch_stats, _adam().init(params),
-                                jnp.zeros((), jnp.int32))
+        state = TrainState(params, batch_stats, _adam().init(params),
+                           jnp.zeros((), jnp.int32))
+        self.state = self._shard_state(state)
         self.target_params = None
         self.target_stats = None
         self.update_num = 0
@@ -193,6 +201,21 @@ class AVITrainer:
         self.last_loss = float("inf")
         self.last_swapped = False
         self.last_eval = None
+
+    def _shard_state(self, state: TrainState) -> TrainState:
+        if self.mesh is None:
+            return state
+        from ..parallel.mesh import param_shardings, replicated
+        return TrainState(
+            params=jax.device_put(state.params,
+                                  param_shardings(self.mesh, state.params)),
+            batch_stats=jax.device_put(
+                state.batch_stats,
+                param_shardings(self.mesh, state.batch_stats)),
+            opt_state=jax.device_put(
+                state.opt_state,
+                param_shardings(self.mesh, state.opt_state)),
+            itr=jax.device_put(state.itr, replicated(self.mesh)))
 
     def _example_states(self):
         if hasattr(self.env, "goal_states"):
@@ -213,7 +236,8 @@ class AVITrainer:
         key = (num_steps, all_zeros, chunk_len)
         if key not in self._chunk_cache:
             self._chunk_cache[key] = make_train_chunk(
-                self.env, self.model, self.cfg, num_steps, all_zeros, chunk_len)
+                self.env, self.model, self.cfg, num_steps, all_zeros,
+                chunk_len, mesh=self.mesh)
         return self._chunk_cache[key]
 
     def run_update(self) -> float:

@@ -56,3 +56,31 @@ def test_param_shardings_layout():
         raise KeyError(name)
     assert find("fc1/kernel") == P(None, "model")
     assert find("fc_out/kernel") == P()
+
+
+@needs_8
+def test_avitrainer_on_mesh_full_update_cycle():
+    """AVITrainer wired to a mesh: update phases, the target swap, and the
+    post-swap (target-consuming) phase all run under dp+tp shardings."""
+    from deepcubea_tpu.envs import LightsOut
+    from deepcubea_tpu.models import build_model
+    from deepcubea_tpu.parallel import make_mesh
+    from deepcubea_tpu.training import AVIConfig, AVITrainer
+
+    env = LightsOut(3)
+    cfg = AVIConfig(back_max=3, batch_size=32, states_per_update=64,
+                    loss_thresh=1e9, num_test=8, log_every=2)
+    nnet = dict(env.nnet_config)
+    nnet.update(h1_dim=64, resnet_dim=32, num_resnet_blocks=1)
+    trainer = AVITrainer(env, cfg, seed=0, model=build_model(nnet),
+                         mesh=make_mesh(8, model_parallel=2), log=lambda *a: None)
+
+    loss0 = trainer.run_update()            # all-zeros phase
+    assert np.isfinite(loss0)
+    assert trainer.maybe_swap_target()      # thresh huge: always swaps
+    loss1 = trainer.run_update()            # Bellman phase against target
+    assert np.isfinite(loss1)
+    assert trainer.itr == 4
+    # parameters stayed sharded across the cycle
+    fc1 = trainer.state.params["fc1"]["kernel"]
+    assert len(fc1.sharding.device_set) == 8
