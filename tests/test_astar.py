@@ -218,3 +218,35 @@ def test_pool_overflow_graceful():
     # the open list never references slack rows
     assert res.num_generated.max() <= 40 * cfg.batch_size * env.num_actions
     assert c_eff > 0
+
+
+def test_cube3_optimal_at_shallow_depths():
+    """Flagship-domain optimality oracle: exact BFS distances to depth ~4
+    (level-by-level BFS assigns exact distances even when truncated), then
+    weight-1 zero-heuristic BWAS must match them."""
+    from deepcubea_tpu.envs import Cube3
+
+    env = Cube3()
+    model, params, stats = zero_heuristic_model(env)
+    dist = bfs_distances(env, max_nodes=15_000)
+
+    by_depth = {}
+    for key, d in dist.items():
+        by_depth.setdefault(d, []).append(np.frombuffer(key, dtype=np.uint8))
+    roots, expect = [], []
+    rng = np.random.RandomState(0)
+    for d in (0, 1, 2, 3, 4):
+        pick = rng.choice(len(by_depth[d]), size=min(4, len(by_depth[d])),
+                          replace=False)
+        for i in pick:
+            roots.append(by_depth[d][i])
+            expect.append(d)
+
+    cfg = AStarConfig(weight=1.0, batch_size=32, pool_capacity=1 << 16,
+                      table_capacity=1 << 17, max_path_len=16)
+    solver = BatchWeightedAStar(env, model, params, stats, cfg)
+    res = solver.solve(jnp.asarray(np.stack(roots)), max_iters=400)
+    for i, (soln, d) in enumerate(zip(res.solutions, expect)):
+        assert soln is not None, i
+        assert len(soln) == d, (i, len(soln), d)
+        assert is_valid_solution(env, roots[i], soln)
