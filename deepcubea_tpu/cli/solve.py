@@ -199,11 +199,21 @@ def main(argv=None):
                       idx, float(len(soln)), len(soln),
                       format(int(res.num_generated[j]), ","), t))
 
-    out = os.path.join(args.results_dir, "results.pkl")
-    with open(out, "wb") as f:
-        pickle.dump(results, f, protocol=-1)
+        # flush after every batch so long runs survive interruption
+        _dump_results(args.results_dir, results)
+
+    out = _dump_results(args.results_dir, results)
     solved = [s for s in results["solutions"] if s is not None]
     print(f"solved {len(solved)}/{n}; results -> {out}")
+
+
+def _dump_results(results_dir, results):
+    out = os.path.join(results_dir, "results.pkl")
+    tmp = out + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(results, f, protocol=-1)
+    os.replace(tmp, out)
+    return out
 
 
 def _replay_path(env, state, moves):
