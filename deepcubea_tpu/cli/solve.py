@@ -47,6 +47,9 @@ def parse_args(argv=None):
     p.add_argument("--sort_by_h", action="store_true", default=False,
                    help="batch similar-difficulty states together (ordered "
                         "by initial heuristic); results keep input order")
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="devices to shard the instance axis of the device "
+                        "engine over (instances must divide by it)")
     p.add_argument("--eval_budget", type=float, default=1.0,
                    help="fraction of children given real NN heuristics per "
                         "step (device engine); overflow uses provisionals")
@@ -144,7 +147,13 @@ def main(argv=None):
             first_goal=args.first_goal, approx_pop=args.approx_pop,
             max_path_len=args.max_path_len,
             eval_budget_fraction=args.eval_budget)
-        solver = BatchWeightedAStar(env, model, params, stats, cfg)
+        mesh = None
+        if args.data_parallel > 1:
+            from ..parallel import make_mesh
+            mesh = make_mesh(args.data_parallel, model_parallel=1)
+            assert args.instances % args.data_parallel == 0, (
+                "--instances must divide by --data_parallel")
+        solver = BatchWeightedAStar(env, model, params, stats, cfg, mesh=mesh)
         solve_batch = solver.solve
 
     if solve_batch is None:
