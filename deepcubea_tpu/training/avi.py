@@ -245,6 +245,14 @@ class AVITrainer:
         cfg = self.cfg
         all_zeros = self.target_params is None
         num_steps = min(self.update_num + 1, cfg.max_update_steps)
+        if num_steps > 4:
+            # bucket explorer depth to powers of two: the reference grows it
+            # by 1 per update (avi.py:240-242 via updater), which under jit
+            # would recompile the fused chunk at every update (200 compiles
+            # for lightsout7, train.sh:68). Rounding UP only deepens
+            # exploration; labels stay correct.
+            num_steps = min(1 << (num_steps - 1).bit_length(),
+                            cfg.max_update_steps)
         itrs = int(cfg.epochs_per_update *
                    math.ceil(cfg.states_per_update / cfg.batch_size))
         self.log(f"Update {self.update_num}: {itrs} iterations, "
