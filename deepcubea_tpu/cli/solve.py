@@ -50,6 +50,9 @@ def parse_args(argv=None):
     p.add_argument("--data_parallel", type=int, default=1,
                    help="devices to shard the instance axis of the device "
                         "engine over (instances must divide by it)")
+    p.add_argument("--retry_unsolved", type=float, default=0.0,
+                   help="after the sweep, re-solve unsolved states alone "
+                        "with max_iters scaled by this factor (0 = off)")
     p.add_argument("--eval_budget", type=float, default=1.0,
                    help="fraction of children given real NN heuristics per "
                         "step (device engine); overflow uses provisionals")
@@ -210,6 +213,30 @@ def main(argv=None):
 
         # flush after every batch so long runs survive interruption
         _dump_results(args.results_dir, results)
+
+    if args.retry_unsolved > 0:
+        retry = [i for i in range(n) if results["solutions"][i] is None]
+        budget = int(args.max_iters * args.retry_unsolved)
+        for idx in retry:
+            t0 = time.time()
+            res = solve_batch(jnp.asarray(states[idx][None]),
+                              max_iters=budget, verbose=args.verbose)
+            t = time.time() - t0
+            soln = res.solutions[0]
+            results["times"][idx] = t
+            results["num_nodes_generated"][idx] = int(res.num_generated[0])
+            if soln is None:
+                print(f"State: {idx}, UNSOLVED after retry "
+                      f"({budget} iters)")
+                continue
+            assert is_valid_solution(env, states[idx], soln), idx
+            results["solutions"][idx] = soln
+            results["paths"][idx] = _replay_path(env, states[idx], soln)
+            print("State: %i, SolnCost: %.2f, # Moves: %i, "
+                  "# Nodes Gen: %s, Time: %.2f (retry)" % (
+                      idx, float(len(soln)), len(soln),
+                      format(int(res.num_generated[0]), ","), t))
+            _dump_results(args.results_dir, results)
 
     out = _dump_results(args.results_dir, results)
     solved = [s for s in results["solutions"] if s is not None]
