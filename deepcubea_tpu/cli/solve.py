@@ -57,6 +57,10 @@ def parse_args(argv=None):
                    help="fraction of children given real NN heuristics per "
                         "step (device engine); overflow uses provisionals")
     p.add_argument("--max_path_len", type=int, default=1024)
+    p.add_argument("--max_probes", type=int, default=16,
+                   help="closed-table probe depth; each probe is one fused "
+                        "table gather (~latency-bound), lower = faster "
+                        "steps, more overflow-accepts at high load")
     p.add_argument("--engine", type=str, default="device",
                    choices=["device", "hybrid", "sharded"],
                    help="device: fully on-accelerator batched BWAS; "
@@ -148,7 +152,7 @@ def main(argv=None):
             pool_capacity=args.pool_capacity,
             table_capacity=args.table_capacity,
             first_goal=args.first_goal, approx_pop=args.approx_pop,
-            max_path_len=args.max_path_len,
+            max_path_len=args.max_path_len, max_probes=args.max_probes,
             eval_budget_fraction=args.eval_budget)
         mesh = None
         if args.data_parallel > 1:

@@ -338,8 +338,10 @@ class BatchWeightedAStar:
         instance count must divide by the data-axis size."""
         self.env = env
         self.model = model
-        self.params = params
-        self.batch_stats = batch_stats
+        # pin to device once: host numpy pytrees (e.g. fresh checkpoint
+        # loads) would otherwise re-transfer per step dispatch
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
         self.cfg = cfg
         self.mesh = mesh
         self._step = make_astar_step(env, model, cfg)

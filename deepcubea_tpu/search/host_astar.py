@@ -83,8 +83,9 @@ class HostAStar:
                  table_capacity: int = 1 << 20, first_goal: bool = False):
         self.env = env
         self.model = model
-        self.params = params
-        self.batch_stats = batch_stats
+        # pin to device once (host numpy pytrees re-transfer per dispatch)
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
         self.weight = weight
         self.batch_size = batch_size
         self.table_capacity = table_capacity
