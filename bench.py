@@ -40,9 +40,11 @@ def main():
     # approx top-k pop (recall 0.95): weighted A* is robust to mild pop-order
     # perturbation; solution quality is tracked separately by cli.solve +
     # cli.compare against the optimal test sets
+    # max_probes 6 is the production solve configuration (each probe is one
+    # latency-bound fused table gather; ~1.6% overflow-accepts at 50% load)
     cfg = AStarConfig(weight=0.6, batch_size=10_000,
                       pool_capacity=1 << 22, table_capacity=1 << 23,
-                      approx_pop=True)
+                      approx_pop=True, max_probes=6)
     roots, _ = env.generate_scrambles(
         jax.random.PRNGKey(1), 1, 30,
         depths=jnp.full((1,), 26, jnp.int32))
