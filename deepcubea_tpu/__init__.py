@@ -22,3 +22,11 @@ Layers (bottom to top), mirroring the reference layer map (SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: every CLI/bench process reuses compiled
+# executables across invocations (opt out: DCA_NO_CACHE=1). See
+# utils/xla_cache.py for rationale and the round-1 329 s compile measurement.
+from .utils.xla_cache import enable_compilation_cache as _enable_cache
+
+_enable_cache()
+del _enable_cache

@@ -39,6 +39,11 @@ def parse_args(argv=None):
     p.add_argument("--max_update_steps", type=int, default=1)
     p.add_argument("--update_method", type=str, default="GBFS")
     p.add_argument("--eps_max", type=float, default=0.0)
+    p.add_argument("--plateau_promote", type=int, default=0,
+                   help="promote current->target after this many update "
+                        "phases with a stalled loss above loss_thresh "
+                        "(automates the reference's manual promotion, "
+                        "train.sh:5); 0 = exact reference gate only")
     # testing
     p.add_argument("--num_test", type=int, default=10000)
     # data
@@ -102,7 +107,7 @@ def main(argv=None):
         epochs_per_update=args.epochs_per_update,
         max_update_steps=args.max_update_steps,
         update_method=args.update_method.lower(), eps_max=args.eps_max,
-        num_test=args.num_test)
+        num_test=args.num_test, plateau_promote=args.plateau_promote)
 
     nnet_config = dict(env.nnet_config)
     for k in ("h1_dim", "resnet_dim", "num_resnet_blocks"):

@@ -68,6 +68,12 @@ class AVIConfig:
     eps_max: float = 0.0
     num_test: int = 1000
     log_every: int = 100
+    # Automated version of the reference's documented manual promotion
+    # (train.sh:5 "cp -r current/* target/  # manually update target
+    # network"): when the loss gate has not fired and the loss has not
+    # improved for this many consecutive update phases, promote anyway.
+    # 0 disables (exact reference gate semantics).
+    plateau_promote: int = 0
 
 
 class TrainState(NamedTuple):
@@ -201,6 +207,8 @@ class AVITrainer:
         self.last_loss = float("inf")
         self.last_swapped = False
         self.last_eval = None
+        self._best_loss_since_swap = float("inf")
+        self._stall_count = 0
 
     def _shard_state(self, state: TrainState) -> TrainState:
         if self.mesh is None:
@@ -288,19 +296,43 @@ class AVITrainer:
         self.last_loss = last_loss
         return last_loss
 
+    def _swap_target(self) -> None:
+        # materialize fresh buffers: the train state is donated to the
+        # jitted chunk, so the target must not alias it
+        copy = lambda t: jax.tree_util.tree_map(jnp.array, t)  # noqa: E731
+        self.target_params = copy(self.state.params)
+        self.target_stats = copy(self.state.batch_stats)
+        self.update_num += 1
+        self.last_swapped = True
+
     def maybe_swap_target(self) -> bool:
         """Target swap = rebinding a pytree of device arrays (vs. the
-        reference's directory copy, avi.py:121-126, 250-255)."""
+        reference's directory copy, avi.py:121-126, 250-255).
+
+        With cfg.plateau_promote > 0 a stalled loss gate additionally
+        triggers a promotion — the automated equivalent of the reference's
+        documented manual current->target copy (train.sh:5), applied when
+        the loss plateaus above loss_thresh for that many updates."""
         self.last_swapped = False
         if self.last_loss < self.cfg.loss_thresh:
             self.log("Updating target network")
-            # materialize fresh buffers: the train state is donated to the
-            # jitted chunk, so the target must not alias it
-            copy = lambda t: jax.tree_util.tree_map(jnp.array, t)  # noqa: E731
-            self.target_params = copy(self.state.params)
-            self.target_stats = copy(self.state.batch_stats)
-            self.update_num += 1
-            self.last_swapped = True
+            self._swap_target()
+        elif self.cfg.plateau_promote > 0:
+            improved = self.last_loss < self._best_loss_since_swap * 0.995
+            if improved:
+                self._stall_count = 0
+            else:
+                self._stall_count += 1
+            self._best_loss_since_swap = min(self._best_loss_since_swap,
+                                             self.last_loss)
+            if self._stall_count >= self.cfg.plateau_promote:
+                self.log(f"Updating target network (plateau promotion after "
+                         f"{self._stall_count} stalled updates at loss "
+                         f"{self.last_loss:.5f})")
+                self._swap_target()
+        if self.last_swapped:
+            self._best_loss_since_swap = float("inf")
+            self._stall_count = 0
         return self.last_swapped
 
     def evaluate(self) -> dict:
