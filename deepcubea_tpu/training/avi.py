@@ -49,6 +49,7 @@ from ..models.resnet import (ResnetValueNet, build_model, forward_train,
                              init_variables)
 from .astar_explore import astar_explore
 from .gbfs import bellman_backup, gbfs_run, gbfs_test
+from .scramble_pool import PoolState, ScramblePool
 
 
 @dataclasses.dataclass(frozen=True)
@@ -74,6 +75,11 @@ class AVIConfig:
     # improved for this many consecutive update phases, promote anyway.
     # 0 disables (exact reference gate semantics).
     plateau_promote: int = 0
+    # Persistent mixing-chain scramble pool (training/scramble_pool.py):
+    # -1 = auto (on, auto-sized, for envs using the default goal-walk
+    # generator), 0 = off (fresh back_max-scan per iteration, the exact
+    # reference walk per batch), >0 = explicit chain count.
+    scramble_pool: int = -1
 
 
 class TrainState(NamedTuple):
@@ -92,7 +98,7 @@ def _adam():
 
 def make_train_chunk(env: Environment, model: ResnetValueNet, cfg: AVIConfig,
                      num_steps: int, all_zeros: bool, chunk_len: int,
-                     mesh=None):
+                     mesh=None, pool: Optional[ScramblePool] = None):
     """A jitted scan of `chunk_len` streaming AVI iterations.
 
     Each iteration: generate fresh scrambles -> label with the frozen target
@@ -115,10 +121,16 @@ def make_train_chunk(env: Environment, model: ResnetValueNet, cfg: AVIConfig,
         spec = P("data", *([None] * (x.ndim - 1)))
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
-    def one_iter(state: TrainState, target, key):
+    def one_iter(carry, target, key):
+        state, pool_st = carry
         target_params, target_stats = target
         k_gen, k_run = jax.random.split(key)
-        states, _ = env.generate_scrambles(k_gen, n_gen, cfg.back_max)
+        if pool is not None:
+            pool_st, states, _ = pool.advance_and_sample(pool_st, k_gen, n_gen)
+            pool_st = PoolState(constrain_batch(pool_st.states),
+                                constrain_batch(pool_st.depths))
+        else:
+            states, _ = env.generate_scrambles(k_gen, n_gen, cfg.back_max)
         states = constrain_batch(states)
 
         if num_steps == 1:
@@ -162,14 +174,15 @@ def make_train_chunk(env: Environment, model: ResnetValueNet, cfg: AVIConfig,
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
         new_params = optax.apply_updates(state.params, updates)
-        return TrainState(new_params, new_stats, new_opt, state.itr + 1), loss
+        new_state = TrainState(new_params, new_stats, new_opt, state.itr + 1)
+        return (new_state, pool_st), loss
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def chunk(state: TrainState, target_params, target_stats, key):
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def chunk(state: TrainState, pool_st, target_params, target_stats, key):
         keys = jax.random.split(key, chunk_len)
         return jax.lax.scan(
-            lambda s, k: one_iter(s, (target_params, target_stats), k),
-            state, keys)
+            lambda c, k: one_iter(c, (target_params, target_stats), k),
+            (state, pool_st), keys)
 
     return chunk
 
@@ -210,6 +223,26 @@ class AVITrainer:
         self._best_loss_since_swap = float("inf")
         self._stall_count = 0
 
+        # mixing-chain scramble pool (training/scramble_pool.py): only for
+        # envs on the default goal-walk generator (sokoban's hindsight
+        # generator defines its own distribution and keeps the legacy path)
+        self.pool = None
+        self.pool_state = None
+        uses_default_gen = (type(env).generate_scrambles
+                            is Environment.generate_scrambles)
+        if cfg.scramble_pool != 0 and uses_default_gen:
+            if cfg.scramble_pool > 0:
+                chains = cfg.scramble_pool
+            else:
+                chains = ScramblePool.auto_chains(cfg.batch_size, cfg.back_max)
+            if mesh is not None:
+                # chain count must divide over the data axis; a multiple of
+                # (back_max+1)*data keeps the depth tiling exactly uniform
+                data = mesh.devices.shape[list(mesh.axis_names).index("data")]
+                period = (cfg.back_max + 1) * data
+                chains = math.ceil(chains / period) * period
+            self.pool = ScramblePool(env, cfg.back_max, chains)
+
     def _shard_state(self, state: TrainState) -> TrainState:
         if self.mesh is None:
             return state
@@ -245,8 +278,25 @@ class AVITrainer:
         if key not in self._chunk_cache:
             self._chunk_cache[key] = make_train_chunk(
                 self.env, self.model, self.cfg, num_steps, all_zeros,
-                chunk_len, mesh=self.mesh)
+                chunk_len, mesh=self.mesh, pool=self.pool)
         return self._chunk_cache[key]
+
+    def _ensure_pool(self):
+        if self.pool is None or self.pool_state is not None:
+            return
+        self.key, k = jax.random.split(self.key)
+        t0 = time.time()
+        self.pool_state = jax.jit(self.pool.init)(k)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self.pool_state = PoolState(
+                jax.device_put(self.pool_state.states,
+                               NamedSharding(self.mesh, P("data", None))),
+                jax.device_put(self.pool_state.depths,
+                               NamedSharding(self.mesh, P("data"))))
+        jax.block_until_ready(self.pool_state.states)
+        self.log(f"scramble pool: {self.pool.num_chains} chains warmed in "
+                 f"{time.time() - t0:.1f}s")
 
     def run_update(self) -> float:
         """One AVI update phase; returns the final training loss."""
@@ -277,6 +327,7 @@ class AVITrainer:
         else:
             target = (self.target_params, self.target_stats)
 
+        self._ensure_pool()
         done = 0
         t0 = time.time()
         last_loss = float("nan")
@@ -284,7 +335,8 @@ class AVITrainer:
             chunk_len = min(cfg.log_every, itrs - done)
             chunk = self._get_chunk(num_steps, all_zeros, chunk_len)
             self.key, k = jax.random.split(self.key)
-            self.state, losses = chunk(self.state, *target, k)
+            (self.state, self.pool_state), losses = chunk(
+                self.state, self.pool_state, *target, k)
             done += chunk_len
             last_loss = float(losses[-1])
             dt = time.time() - t0

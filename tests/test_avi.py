@@ -66,10 +66,14 @@ def test_loss_decreases_on_lightsout():
                     loss_thresh=0.5, num_test=30, log_every=16)
     t = AVITrainer(env, cfg, seed=1, model=tiny_model(env), log=lambda *a: None)
     losses = []
+    t._ensure_pool()
     chunk = t._get_chunk(1, True, 16)
+    copy = lambda tr: jax.tree_util.tree_map(jnp.array, tr)  # noqa: E731
     for _ in range(4):
         t.key, k = jax.random.split(t.key)
-        t.state, ls = chunk(t.state, t.state.params, t.state.batch_stats, k)
+        (t.state, t.pool_state), ls = chunk(
+            t.state, t.pool_state, copy(t.state.params),
+            copy(t.state.batch_stats), k)
         losses.append(float(ls.mean()))
     assert losses[-1] < losses[0]
 
