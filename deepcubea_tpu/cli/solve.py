@@ -190,16 +190,34 @@ def main(argv=None):
     for lo in range(0, n, args.instances):
         hi = min(lo + args.instances, n)
         batch_idx = order[lo:hi]
-        roots = jnp.asarray(states[batch_idx])
+        roots_np = states[batch_idx]
+        # ragged tail: pad with copies of the last root so the compiled
+        # instance shape (and any data_parallel sharding contract) holds;
+        # padding slots are ignored below
+        pad = args.instances - (hi - lo)
+        if pad > 0 and args.instances > 1:
+            roots_np = np.concatenate(
+                [roots_np, np.repeat(roots_np[-1:], pad, axis=0)])
+        roots = jnp.asarray(roots_np)
         t0 = time.time()
         res = solve_batch(roots, max_iters=args.max_iters,
                           verbose=args.verbose)
         batch_time = time.time() - t0
 
+        # honest per-state latency in a lockstep batch: instance j finished
+        # at step finish_iters[j] of the batch's run, so it consumed that
+        # fraction of the batch wall time (steps have ~constant duration)
+        fi = getattr(res, "finish_iters", None)
+        if fi is not None and np.max(fi[:hi - lo], initial=0) > 0:
+            t_vec = batch_time * np.asarray(fi, np.float64) / max(
+                float(np.max(fi)), 1.0)
+        else:
+            t_vec = np.full(args.instances, batch_time / max(hi - lo, 1))
+
         for j in range(hi - lo):
             idx = int(batch_idx[j])
             soln = res.solutions[j]
-            t = batch_time / (hi - lo)
+            t = float(t_vec[j])
             results["solutions"][idx] = soln
             results["times"][idx] = t
             results["num_nodes_generated"][idx] = int(res.num_generated[j])
@@ -221,9 +239,17 @@ def main(argv=None):
     if args.retry_unsolved > 0:
         retry = [i for i in range(n) if results["solutions"][i] is None]
         budget = int(args.max_iters * args.retry_unsolved)
+        retry_solve = solve_batch
+        if retry and args.engine == "device" and args.data_parallel > 1:
+            # single-instance retries cannot satisfy the sharded solver's
+            # instances-divide-by-data contract (astar.py:338); retry on a
+            # dedicated unsharded solver instead
+            retry_solver = BatchWeightedAStar(env, model, params, stats,
+                                              cfg, mesh=None)
+            retry_solve = retry_solver.solve
         for idx in retry:
             t0 = time.time()
-            res = solve_batch(jnp.asarray(states[idx][None]),
+            res = retry_solve(jnp.asarray(states[idx][None]),
                               max_iters=budget, verbose=args.verbose)
             t = time.time() - t0
             soln = res.solutions[0]
@@ -260,6 +286,10 @@ def _replay_path(env, state, moves):
     s = jnp.asarray(np.asarray(state)[None, :])
     path = [np.asarray(s)[0]]
     for m in moves:
+        # env.step's one-hot/mask kernels silently corrupt the state for
+        # out-of-range action ids (e.g. stray -1 padding); guard here where
+        # host-side move lists circulate
+        assert 0 <= int(m) < env.num_actions, f"invalid move id {m}"
         s = env.step(s, jnp.asarray([int(m)], jnp.int32))
         path.append(np.asarray(s)[0])
     return path

@@ -152,6 +152,9 @@ class Cube3(Environment):
         # to pure data movement), then a one-hot select over the small action
         # axis. A per-state dynamic gather (take_along_axis) is ~25x slower
         # on TPU in a scramble scan: dynamic lane gathers don't vectorize.
+        # PRECONDITION: actions in [0, num_actions) — an out-of-range id
+        # matches no one-hot row and yields an all-zero state (host paths
+        # that carry -1 padding must mask or assert first).
         children = states[:, self._perms]  # (B, A, W)
         sel = actions[:, None] == jnp.arange(self.num_actions)[None, :]
         return jnp.sum(children * sel[:, :, None].astype(states.dtype),

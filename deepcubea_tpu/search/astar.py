@@ -79,6 +79,9 @@ class SearchState(NamedTuple):
     num_generated: jnp.ndarray  # (I,) int64-ish int32 counts
     pool_dropped: jnp.ndarray   # (I,) int32 children lost to pool overflow
     tbl_overflow: jnp.ndarray   # (I,) int32 closed-table probe exhaustions
+    finish_iters: jnp.ndarray   # (I,) int32 steps consumed before this
+    #                             instance terminated (for honest per-state
+    #                             wall-time attribution in lockstep batches)
 
 
 def _fp_consts(env: Environment) -> np.ndarray:
@@ -125,6 +128,7 @@ def astar_init(env: Environment, cfg: AStarConfig,
         num_generated=jnp.zeros((i,), jnp.int32),
         pool_dropped=jnp.zeros((i,), jnp.int32),
         tbl_overflow=jnp.zeros((i,), jnp.int32),
+        finish_iters=jnp.zeros((i,), jnp.int32),
     )
 
 
@@ -282,6 +286,7 @@ def make_astar_step(env: Environment, model: ResnetValueNet,
             + jnp.sum(valid_pop.astype(jnp.int32), axis=1) * a,
             pool_dropped=s.pool_dropped + dropped,
             tbl_overflow=s.tbl_overflow + jnp.where(live, ovf, 0),
+            finish_iters=s.finish_iters + live.astype(jnp.int32),
         )
 
     return step
@@ -319,6 +324,7 @@ class SolveResult(NamedTuple):
     time_s: float
     pool_dropped: np.ndarray
     tbl_overflow: np.ndarray
+    finish_iters: Optional[np.ndarray] = None  # (I,) per-instance steps
 
 
 class BatchWeightedAStar:
@@ -407,4 +413,5 @@ class BatchWeightedAStar:
             time_s=time.time() - t0,
             pool_dropped=np.asarray(state.pool_dropped),
             tbl_overflow=np.asarray(state.tbl_overflow),
+            finish_iters=np.asarray(state.finish_iters),
         )

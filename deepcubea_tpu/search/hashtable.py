@@ -119,8 +119,14 @@ def ht_insert(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,
 
         # one verify pass settles match path, winners, and duplicate-key
         # losers (the winner just filled their slot, turning them into
-        # matches); an fp0-colliding foreign key fails the fp1 check and
-        # stays pending for the next pass
+        # matches). A foreign key with an equal fp0 but different fp1
+        # earlier in the probe chain fails this check and stays pending —
+        # and since every pass re-selects the same first-fp0-match slot,
+        # such a key can NEVER resolve: it is a repeat overflow-accept by
+        # design (probability ~2^-32 per occupied probe slot; accepting
+        # without insertion only permits re-expansion, which is safe).
+        # Making the stop predicate (fp0, fp1)-exact would double the
+        # dominant fused-gather cost for that 2^-32 event — not worth it.
         v0, v1, vg = t_fp0[sel], t_fp1[sel], t_g[sel]
         now_match = pending & has & (v0 == fp0) & (v1 == fp1)
         cheaper = now_match & (g < vg)
@@ -138,7 +144,12 @@ def ht_insert(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,
 
 def ht_lookup(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,
               max_probes: int = 16) -> jnp.ndarray:
-    """Best known cost per key, INF_G if absent (read-only)."""
+    """Best known cost per key, INF_G if absent (read-only).
+
+    Mirrors ht_insert's probe rule: the first fp0-match-or-empty slot is
+    inspected. A key stored BEHIND a foreign fp0-colliding slot in its
+    probe chain reads as absent (~2^-32 per occupied probe slot) — a safe
+    false-negative: the caller treats it as not-closed and re-expands."""
     h = tbl.fp0.shape[0]
     fp0 = _remap_empty(fp0)
     slots = _probe_slots(fp0, fp1, max_probes, h - 1)

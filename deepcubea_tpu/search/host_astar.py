@@ -94,12 +94,17 @@ class HostAStar:
 
         b, a, w = batch_size, env.num_actions, env.state_width
 
+        pinned_params, pinned_stats = self.params, self.batch_stats
+
         @jax.jit
         def expand_and_eval(states):
             children, _ = env.expand(states)
             flat = children.reshape(b * a, w)
-            h = heuristic_values(env, model, params, batch_stats, flat,
-                                 clip_zero=True)
+            # close over the PINNED device copies (not the constructor
+            # arguments): numpy trees passed by callers would otherwise
+            # silently re-transfer on every dispatch
+            h = heuristic_values(env, model, pinned_params, pinned_stats,
+                                 flat, clip_zero=True)
             solved = env.is_solved(flat)
             return children, h, solved
 

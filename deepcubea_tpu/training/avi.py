@@ -304,13 +304,15 @@ class AVITrainer:
         all_zeros = self.target_params is None
         num_steps = min(self.update_num + 1, cfg.max_update_steps)
         if num_steps > 4:
-            # bucket explorer depth to powers of two: the reference grows it
-            # by 1 per update (avi.py:240-242 via updater), which under jit
-            # would recompile the fused chunk at every update (200 compiles
-            # for lightsout7, train.sh:68). Rounding UP only deepens
-            # exploration; labels stay correct.
-            num_steps = min(1 << (num_steps - 1).bit_length(),
-                            cfg.max_update_steps)
+            # bucket explorer depth to multiples of 4: the reference grows
+            # it by 1 per update (avi.py:240-242 via updater), which under
+            # jit would recompile the fused chunk at every update (200
+            # compiles for lightsout7, train.sh:68). Rounding UP (by at
+            # most 3) only deepens exploration and stays within a few
+            # steps of the reference curriculum; labels stay correct, and
+            # the persistent compilation cache absorbs the <= 50 bucket
+            # compiles once per configuration.
+            num_steps = min((num_steps + 3) & ~3, cfg.max_update_steps)
         itrs = int(cfg.epochs_per_update *
                    math.ceil(cfg.states_per_update / cfg.batch_size))
         self.log(f"Update {self.update_num}: {itrs} iterations, "
