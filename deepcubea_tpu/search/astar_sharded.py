@@ -63,6 +63,12 @@ class ShardedAStarConfig:
     max_probes: int = 16
     first_goal: bool = False
     max_path_len: int = 512
+    #: staging capacity per destination shard, as a multiple of the
+    #: uniform-routing expectation (children/K). The all_to_all ships
+    #: K x cap rows instead of the worst-case K x children; a child beyond
+    #: its destination's cap is dropped and counted (same safety contract
+    #: as pool overflow — dedup/expansion loss, never corruption).
+    route_slack: float = 4.0
 
 
 class ShardedSearchState(NamedTuple):
@@ -77,7 +83,8 @@ class ShardedSearchState(NamedTuple):
     goal_f: jnp.ndarray   # (K,)
     done: jnp.ndarray     # (K,) bool (identical across shards)
     num_generated: jnp.ndarray  # (K,)
-    pool_dropped: jnp.ndarray   # (K,)
+    pool_dropped: jnp.ndarray   # (K,) pool-full + over-cap routing drops
+    tbl_overflow: jnp.ndarray   # (K,) closed-table probe exhaustions
 
 
 def sharded_astar_init(env: Environment, cfg: ShardedAStarConfig,
@@ -108,12 +115,13 @@ def sharded_astar_init(env: Environment, cfg: ShardedAStarConfig,
         done=jnp.array([solved_root] * k),
         num_generated=jnp.zeros((k,), jnp.int32),
         pool_dropped=jnp.zeros((k,), jnp.int32),
+        tbl_overflow=jnp.zeros((k,), jnp.int32),
     )
     specs = ShardedSearchState(
         states=shard, g=shard, f=shard, parent=shard, action=shard,
         size=shard, tbl=HashTable(shard, shard, shard, shard),
         goal_id=shard, goal_f=shard, done=shard, num_generated=shard,
-        pool_dropped=shard)
+        pool_dropped=shard, tbl_overflow=shard)
     return jax.tree_util.tree_map(jax.device_put, state, specs)
 
 
@@ -126,9 +134,14 @@ def make_sharded_astar_step(env: Environment, model: ResnetValueNet,
     w = env.state_width
     cl = cfg.pool_capacity // k        # pool slots per shard
     nc = bl * a                        # children per shard per step
-    assert cl > 2 * k * nc, (
+    # staging rows per destination: route_slack x the uniform-routing
+    # expectation, padded to a multiple of 8 for layout; never above nc
+    cap = nc if k == 1 else min(
+        nc, max(8, int(-(-nc * cfg.route_slack // k)) + 7 & ~7))
+    nr = k * cap                       # received rows per shard per step
+    assert cl > 2 * nr, (
         "per-shard pool must exceed 2x the received-children block "
-        "(pool_capacity//K > 2*batch_size*num_actions)")
+        "(pool_capacity//K > 2*K*cap)")
     weight = jnp.float32(cfg.weight)
 
     def local_step(s: ShardedSearchState, params, batch_stats):
@@ -164,31 +177,36 @@ def make_sharded_astar_step(env: Environment, model: ResnetValueNet,
         dest = (fp1 & jnp.uint32(k - 1)).astype(jnp.int32)
 
         # ---- compact into per-destination staging + all_to_all ----------
-        # order children by destination; per-dest position via masked cumsum
-        send_states = jnp.zeros((k, nc, w), flat.dtype)
-        send_meta = jnp.zeros((k, nc, 4), jnp.int32)  # g, parent, action, valid
-        send_fp = jnp.zeros((k, nc, 2), jnp.uint32)
-        send_f = jnp.zeros((k, nc), jnp.float32)
-        counts = jnp.zeros((k,), jnp.int32)
-        for d in range(k):
-            m = (dest == d) & valid
-            pos = jnp.cumsum(m.astype(jnp.int32)) - 1
-            tgt = jnp.where(m, pos, nc)
-            send_states = send_states.at[d, tgt].set(flat, mode="drop")
-            meta = jnp.stack([child_g, child_parent, child_action,
-                              m.astype(jnp.int32)], axis=1)
-            send_meta = send_meta.at[d, tgt].set(meta, mode="drop")
-            send_fp = send_fp.at[d, tgt].set(
-                jnp.stack([fp0, fp1], 1).astype(jnp.uint32), mode="drop")
-            send_f = send_f.at[d, tgt].set(child_f, mode="drop")
-            counts = counts.at[d].set(jnp.sum(m.astype(jnp.int32)))
+        # single pass (no per-destination loop): each child's rank within
+        # its destination comes from a one-hot cumsum (nc x k elementwise
+        # work, constant program size in K), then ONE scatter per array
+        # lands everything in the (k, cap) staging buffers. cap bounds the
+        # exchange to ~route_slack x the uniform-routing occupancy; an
+        # over-cap child is dropped and counted like a pool drop.
+        oh = (dest[:, None] == jnp.arange(k)[None, :]) & valid[:, None]
+        pos = jnp.cumsum(oh.astype(jnp.int32), axis=0) - 1    # (nc, k)
+        rank = jnp.take_along_axis(pos, dest[:, None], axis=1)[:, 0]
+        ok = valid & (rank < cap)
+        send_dropped = jnp.sum((valid & ~ok).astype(jnp.int32))
+        slot = jnp.where(ok, dest * cap + rank, k * cap)
+
+        def stage(vals, fill):
+            buf = jnp.full((k * cap,) + vals.shape[1:], fill, vals.dtype)
+            buf = buf.at[slot].set(vals, mode="drop")
+            return buf.reshape((k, cap) + vals.shape[1:])
+
+        send_states = stage(flat, 0)
+        send_meta = stage(jnp.stack([child_g, child_parent, child_action,
+                                     ok.astype(jnp.int32)], axis=1), 0)
+        send_fp = stage(jnp.stack([fp0, fp1], 1).astype(jnp.uint32), 0)
+        send_f = stage(child_f, 0.0)
 
         recv_states = jax.lax.all_to_all(send_states, AXIS, 0, 0, tiled=False)
         recv_meta = jax.lax.all_to_all(send_meta, AXIS, 0, 0, tiled=False)
         recv_fp = jax.lax.all_to_all(send_fp, AXIS, 0, 0, tiled=False)
         recv_f = jax.lax.all_to_all(send_f, AXIS, 0, 0, tiled=False)
 
-        r_states = recv_states.reshape(k * nc, w)
+        r_states = recv_states.reshape(nr, w)
         r_g = recv_meta[:, :, 0].reshape(-1)
         r_parent = recv_meta[:, :, 1].reshape(-1)
         r_action = recv_meta[:, :, 2].reshape(-1)
@@ -203,9 +221,8 @@ def make_sharded_astar_step(env: Environment, model: ResnetValueNet,
         # dense buffer + one block write, as in astar.py (the last nr pool
         # rows are slack so the block never clamps; buffer tails carry
         # f=+inf so slack rows never enter the open list)
-        tbl, accept, _ovf = ht_insert(s.tbl, r_fp0, r_fp1, r_g, r_valid,
-                                      cfg.max_probes)
-        nr = k * nc
+        tbl, accept, ovf = ht_insert(s.tbl, r_fp0, r_fp1, r_g, r_valid,
+                                     cfg.max_probes)
         cl_eff = cl - nr
         offs = jnp.cumsum(accept.astype(jnp.int32)) - 1
         local_dest = s.size[0] + offs
@@ -259,14 +276,15 @@ def make_sharded_astar_step(env: Environment, model: ResnetValueNet,
             action=action_new, size=size_new, tbl=tbl,
             goal_id=goal_id_glob[None], goal_f=goal_f_glob[None],
             done=done[None], num_generated=gen[None],
-            pool_dropped=(s.pool_dropped[0] + dropped)[None])
+            pool_dropped=(s.pool_dropped[0] + dropped + send_dropped)[None],
+            tbl_overflow=(s.tbl_overflow[0] + ovf)[None])
 
     shard = P(AXIS)
     state_specs = ShardedSearchState(
         states=shard, g=shard, f=shard, parent=shard, action=shard,
         size=shard, tbl=HashTable(shard, shard, shard, shard),
         goal_id=shard, goal_f=shard, done=shard, num_generated=shard,
-        pool_dropped=shard)
+        pool_dropped=shard, tbl_overflow=shard)
 
     kwargs = dict(mesh=mesh, in_specs=(state_specs, P(), P()),
                   out_specs=state_specs)
@@ -323,7 +341,8 @@ class ShardedAStar:
             num_generated=np.array([int(np.asarray(state.num_generated).sum())]),
             search_iters=iters, time_s=time.time() - t0,
             pool_dropped=np.array([int(np.asarray(state.pool_dropped).sum())]),
-            tbl_overflow=np.zeros(1, np.int32))
+            tbl_overflow=np.array([int(np.asarray(state.tbl_overflow).sum())]),
+            finish_iters=np.array([iters], np.int32))
 
 
 def cfg_max(cfg: ShardedAStarConfig) -> int:

@@ -28,8 +28,14 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
         return None
     path = path or os.environ.get("DCA_CACHE_DIR", _DEFAULT_DIR)
     try:
-        os.makedirs(path, exist_ok=True)
         import jax
+        # CPU-backend runs (tests, dryruns) skip the cache: XLA:CPU AOT
+        # reloads are machine-feature-pinned and warn of SIGILL on
+        # mismatch; CPU compiles here are small anyway. The TPU programs
+        # are the minutes-long compiles the cache exists for.
+        if "cpu" in str(jax.config.jax_platforms or "").lower():
+            return None
+        os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # cache everything that took a nontrivial compile; the big search /
         # train programs are minutes each, so 1 s is a conservative floor

@@ -58,3 +58,25 @@ def test_frontier_sharded_learned_heuristic():
         assert res.solutions[0] is not None
         assert is_valid_solution(env, np.asarray(states[i]),
                                  res.solutions[0])
+
+
+@needs_8
+def test_frontier_sharded_tight_route_slack_drops_counted():
+    """A staging cap below the mean routing occupancy must drop (and count)
+    children, not corrupt the search: solutions stay valid."""
+    env = LightsOut(3)
+    model, params, stats = zero_heuristic_model(env)
+    mesh = make_mesh(8, model_parallel=1)
+    cfg = ShardedAStarConfig(weight=1.0, batch_size=64,
+                             pool_capacity=1 << 13, table_capacity=1 << 14,
+                             max_path_len=64, route_slack=0.1)
+    solver = ShardedAStar(env, model, params, stats, cfg, mesh)
+    states, _ = env.generate_scrambles(jax.random.PRNGKey(9), 3, 4)
+    dropped_any = 0
+    for i in range(3):
+        res = solver.solve_one(states[i], max_iters=300)
+        assert res.solutions[0] is not None
+        assert is_valid_solution(env, np.asarray(states[i]),
+                                 res.solutions[0])
+        dropped_any += int(res.pool_dropped[0])
+    assert dropped_any > 0  # the tight cap really dropped something
