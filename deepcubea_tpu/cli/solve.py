@@ -50,6 +50,15 @@ def parse_args(argv=None):
     p.add_argument("--data_parallel", type=int, default=1,
                    help="devices to shard the instance axis of the device "
                         "engine over (instances must divide by it)")
+    p.add_argument("--stream", action="store_true", default=False,
+                   help="replace-on-finish streaming (device engine): all "
+                        "states flow through --instances persistent slots; "
+                        "finished slots are re-seeded without recompiling "
+                        "(kills lockstep-straggler waste; real per-state "
+                        "times)")
+    p.add_argument("--max_iters_per", type=int, default=None,
+                   help="per-state step budget for --stream (default: "
+                        "--max_iters)")
     p.add_argument("--retry_unsolved", type=float, default=0.0,
                    help="after the sweep, re-solve unsolved states alone "
                         "with max_iters scaled by this factor (0 = off)")
@@ -187,7 +196,14 @@ def main(argv=None):
     results = dict(states=states,
                    solutions=[None] * n, paths=[None] * n,
                    times=[0.0] * n, num_nodes_generated=[0] * n)
-    for lo in range(0, n, args.instances):
+
+    if args.stream and args.engine == "device":
+        _solve_streaming(args, env, solver, states, order, results)
+        sweep_batches = []  # stream covered everything; retries still apply
+    else:
+        sweep_batches = list(range(0, n, args.instances))
+
+    for lo in sweep_batches:
         hi = min(lo + args.instances, n)
         batch_idx = order[lo:hi]
         roots_np = states[batch_idx]
@@ -271,6 +287,39 @@ def main(argv=None):
     out = _dump_results(args.results_dir, results)
     solved = [s for s in results["solutions"] if s is not None]
     print(f"solved {len(solved)}/{n}; results -> {out}")
+
+
+def _solve_streaming(args, env, solver, states, order, results):
+    """Run the whole (ordered) state set through solve_stream, printing the
+    reference-format line and flushing results.pkl as each state lands."""
+    from ..utils import is_valid_solution
+
+    ordered = states[order]
+    completed = [0]
+
+    def on_result(j, soln, t, nodes, iters):
+        idx = int(order[j])
+        results["solutions"][idx] = soln
+        results["times"][idx] = float(t)
+        results["num_nodes_generated"][idx] = int(nodes)
+        completed[0] += 1
+        if soln is None:
+            print(f"State: {idx}, UNSOLVED ({iters} iters)")
+        else:
+            assert is_valid_solution(env, states[idx], soln), idx
+            results["paths"][idx] = _replay_path(env, states[idx], soln)
+            print("State: %i, SolnCost: %.2f, # Moves: %i, "
+                  "# Nodes Gen: %s, Time: %.2f" % (
+                      idx, float(len(soln)), len(soln),
+                      format(int(nodes), ","), t))
+        if completed[0] % 25 == 0:
+            _dump_results(args.results_dir, results)
+
+    budget = args.max_iters_per or args.max_iters
+    res = solver.solve_stream(
+        np.asarray(ordered), instances=args.instances,
+        max_iters_per=budget, verbose=args.verbose, on_result=on_result)
+    del res
 
 
 def _dump_results(results_dir, results):

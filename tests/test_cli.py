@@ -117,3 +117,26 @@ def test_train_solve_compare_pipeline(workdir, capsys):
             res_e = pickle.load(f)
         # all solved; validity is asserted inside the CLI itself
         assert all(s is not None for s in res_e["solutions"])
+
+
+def test_solve_stream_cli(workdir, capsys):
+    """--stream solves the same set through persistent slots with identical
+    solution lengths and real per-state times."""
+    from deepcubea_tpu.cli import solve
+
+    solve.main(["--states", "testset/data_0.pkl", "--model",
+                "saved_models/lo3/current", "--env", "lightsout3",
+                "--weight", "1.0", "--batch_size", "16", "--instances", "3",
+                "--stream", "--sort_by_h", "--pool_capacity", "4096",
+                "--table_capacity", "8192", "--results_dir",
+                "results_stream", "--max_iters", "100", "--debug"])
+    out = capsys.readouterr().out
+    assert "solved 8/8" in out
+    with open(os.path.join(workdir, "results_stream", "results.pkl"),
+              "rb") as f:
+        res_t = pickle.load(f)
+    with open(os.path.join(workdir, "results", "results.pkl"), "rb") as f:
+        res = pickle.load(f)
+    assert [len(s) for s in res_t["solutions"]] == \
+        [len(s) for s in res["solutions"]]
+    assert all(t > 0 for t in res_t["times"])
