@@ -39,6 +39,10 @@ def parse_args(argv=None):
     p.add_argument("--max_update_steps", type=int, default=1)
     p.add_argument("--update_method", type=str, default="GBFS")
     p.add_argument("--eps_max", type=float, default=0.0)
+    p.add_argument("--label_group", type=int, default=0,
+                   help="explorer label grouping: iterations' worth of "
+                        "roots explored per batched call (0 auto, 1 off); "
+                        "see AVIConfig.label_group")
     p.add_argument("--scramble_pool", type=int, default=-1,
                    help="mixing-chain scramble pool size: -1 auto (on), "
                         "0 off (fresh back_max-scan per iteration), >0 "
@@ -112,7 +116,7 @@ def main(argv=None):
         max_update_steps=args.max_update_steps,
         update_method=args.update_method.lower(), eps_max=args.eps_max,
         num_test=args.num_test, plateau_promote=args.plateau_promote,
-        scramble_pool=args.scramble_pool)
+        scramble_pool=args.scramble_pool, label_group=args.label_group)
 
     nnet_config = dict(env.nnet_config)
     for k in ("h1_dim", "resnet_dim", "num_resnet_blocks"):

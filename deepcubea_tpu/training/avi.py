@@ -80,6 +80,13 @@ class AVIConfig:
     # generator), 0 = off (fresh back_max-scan per iteration, the exact
     # reference walk per batch), >0 = explicit chain count.
     scramble_pool: int = -1
+    # Label grouping for explorer updates (num_steps > 1): explore this
+    # many iterations' worth of roots in ONE batched explorer call, then
+    # train on per-iteration slices. Identical data and ordering — the
+    # explorer NN batch grows from n_gen*A rows (e.g. 245 for lightsout7,
+    # an MXU-starving matmul) to group*n_gen*A. 0 = auto (~1024 roots per
+    # call), 1 = off.
+    label_group: int = 0
 
 
 class TrainState(NamedTuple):
@@ -114,6 +121,16 @@ def make_train_chunk(env: Environment, model: ResnetValueNet, cfg: AVIConfig,
     tx = _adam()
     n_gen = max(1, math.ceil(cfg.batch_size / num_steps))
 
+    # label grouping (explorer updates only): one explorer call labels
+    # `group` iterations' worth of roots so its per-step NN batch is
+    # group*n_gen*A rows instead of n_gen*A; group must divide chunk_len
+    if num_steps > 1:
+        g0 = cfg.label_group if cfg.label_group > 0 else max(1, 1024 // n_gen)
+        g0 = max(1, min(g0, chunk_len))
+        group = next(d for d in range(g0, 0, -1) if chunk_len % d == 0)
+    else:
+        group = 1
+
     def constrain_batch(x):
         if mesh is None:
             return x
@@ -121,44 +138,17 @@ def make_train_chunk(env: Environment, model: ResnetValueNet, cfg: AVIConfig,
         spec = P("data", *([None] * (x.ndim - 1)))
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
-    def one_iter(carry, target, key):
-        state, pool_st = carry
-        target_params, target_stats = target
-        k_gen, k_run = jax.random.split(key)
+    def sample_states(pool_st, key, count):
         if pool is not None:
-            pool_st, states, _ = pool.advance_and_sample(pool_st, k_gen, n_gen)
+            pool_st, states, _ = pool.advance_and_sample(pool_st, key, count)
             pool_st = PoolState(constrain_batch(pool_st.states),
                                 constrain_batch(pool_st.depths))
         else:
-            states, _ = env.generate_scrambles(k_gen, n_gen, cfg.back_max)
-        states = constrain_batch(states)
+            states, _ = env.generate_scrambles(key, count, cfg.back_max)
+        return pool_st, constrain_batch(states)
 
-        if num_steps == 1:
-            if all_zeros:
-                # pre-first-target labels: h == 0 (nnet_utils.py:271-272)
-                solved = env.is_solved(states)
-                y = 1.0 - solved.astype(jnp.float32)
-            else:
-                y, _, _ = bellman_backup(env, model, target_params,
-                                         target_stats, states, clip_zero=True)
-            xs, weights = states, jnp.ones((n_gen,), jnp.float32)
-        elif cfg.update_method.lower() == "astar":
-            # per-instance random weight (updater.py:37)
-            w_rand = jax.random.uniform(k_run, (n_gen,))
-            res = astar_explore(env, model, target_params, target_stats,
-                                states, w_rand, num_steps)
-            xs = res.traj_states.reshape(-1, env.state_width)
-            y = res.traj_ctg.reshape(-1)
-            weights = res.traj_valid.reshape(-1).astype(jnp.float32)
-        else:
-            k_eps, k_gbfs = jax.random.split(k_run)
-            eps = jax.random.uniform(k_eps, (n_gen,)) * cfg.eps_max
-            res = gbfs_run(env, model, target_params, target_stats, states,
-                           eps, k_gbfs, num_steps)
-            xs = res.traj_states.reshape(-1, env.state_width)
-            y = res.traj_ctg.reshape(-1)
-            weights = res.traj_valid.reshape(-1).astype(jnp.float32)
-
+    def train_step(state: TrainState, batch):
+        xs, y, weights = batch
         xs = constrain_batch(xs)
 
         def loss_fn(params):
@@ -174,15 +164,69 @@ def make_train_chunk(env: Environment, model: ResnetValueNet, cfg: AVIConfig,
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
         new_params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(new_params, new_stats, new_opt, state.itr + 1)
-        return (new_state, pool_st), loss
+        return TrainState(new_params, new_stats, new_opt, state.itr + 1), loss
+
+    def one_iter(carry, target, key):
+        # num_steps == 1: one-step Bellman labels, full-batch matmuls
+        state, pool_st = carry
+        target_params, target_stats = target
+        k_gen, _ = jax.random.split(key)
+        pool_st, states = sample_states(pool_st, k_gen, n_gen)
+
+        if all_zeros:
+            # pre-first-target labels: h == 0 (nnet_utils.py:271-272)
+            solved = env.is_solved(states)
+            y = 1.0 - solved.astype(jnp.float32)
+        else:
+            y, _, _ = bellman_backup(env, model, target_params,
+                                     target_stats, states, clip_zero=True)
+        state, loss = train_step(state, (states, y,
+                                         jnp.ones((n_gen,), jnp.float32)))
+        return (state, pool_st), loss
+
+    def super_iter(carry, target, key):
+        # num_steps > 1: explore group*n_gen roots at once, then `group`
+        # train steps each consuming its own roots' trajectories — same
+        # data, same step-major ordering, same per-step lr decay as the
+        # ungrouped loop
+        state, pool_st = carry
+        target_params, target_stats = target
+        k_gen, k_run = jax.random.split(key)
+        nb = group * n_gen
+        pool_st, states = sample_states(pool_st, k_gen, nb)
+
+        if cfg.update_method.lower() == "astar":
+            # per-instance random weight (updater.py:37)
+            w_rand = jax.random.uniform(k_run, (nb,))
+            res = astar_explore(env, model, target_params, target_stats,
+                                states, w_rand, num_steps)
+        else:
+            k_eps, k_gbfs = jax.random.split(k_run)
+            eps = jax.random.uniform(k_eps, (nb,)) * cfg.eps_max
+            res = gbfs_run(env, model, target_params, target_stats, states,
+                           eps, k_gbfs, num_steps)
+
+        k_, w_ = num_steps, env.state_width
+        xs = res.traj_states.reshape(k_, group, n_gen, w_).transpose(
+            1, 0, 2, 3).reshape(group, k_ * n_gen, w_)
+        y = res.traj_ctg.reshape(k_, group, n_gen).transpose(
+            1, 0, 2).reshape(group, k_ * n_gen)
+        wt = res.traj_valid.reshape(k_, group, n_gen).transpose(
+            1, 0, 2).reshape(group, k_ * n_gen).astype(jnp.float32)
+        state, losses = jax.lax.scan(train_step, state, (xs, y, wt))
+        return (state, pool_st), losses  # (group,)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def chunk(state: TrainState, pool_st, target_params, target_stats, key):
-        keys = jax.random.split(key, chunk_len)
-        return jax.lax.scan(
-            lambda c, k: one_iter(c, (target_params, target_stats), k),
-            (state, pool_st), keys)
+        target = (target_params, target_stats)
+        if num_steps == 1:
+            keys = jax.random.split(key, chunk_len)
+            return jax.lax.scan(lambda c, k: one_iter(c, target, k),
+                                (state, pool_st), keys)
+        keys = jax.random.split(key, chunk_len // group)
+        carry, losses = jax.lax.scan(lambda c, k: super_iter(c, target, k),
+                                     (state, pool_st), keys)
+        return carry, losses.reshape(chunk_len)
 
     return chunk
 
