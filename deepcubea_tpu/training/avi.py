@@ -87,6 +87,12 @@ class AVIConfig:
     # an MXU-starving matmul) to group*n_gen*A. 0 = auto (~1024 roots per
     # call), 1 = off.
     label_group: int = 0
+    # GBFS explorer seen-set window (reference: unbounded per-trajectory
+    # set, gbfs.py:114-118). The ring-size study (docs/RESULTS.md) shows
+    # labels within ~5% across rings 2-64 and FASTER solves with small
+    # rings (a large ring forces random restarts near the goal, where
+    # states recur); 8 is the validated default.
+    seen_ring: int = 8
 
 
 class TrainState(NamedTuple):
@@ -204,7 +210,7 @@ def make_train_chunk(env: Environment, model: ResnetValueNet, cfg: AVIConfig,
             k_eps, k_gbfs = jax.random.split(k_run)
             eps = jax.random.uniform(k_eps, (nb,)) * cfg.eps_max
             res = gbfs_run(env, model, target_params, target_stats, states,
-                           eps, k_gbfs, num_steps)
+                           eps, k_gbfs, num_steps, seen_ring=cfg.seen_ring)
 
         k_, w_ = num_steps, env.state_width
         xs = res.traj_states.reshape(k_, group, n_gen, w_).transpose(

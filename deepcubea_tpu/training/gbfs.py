@@ -63,18 +63,24 @@ def bellman_backup(env: Environment, model: ResnetValueNet, params,
     return ctg, child_costs, children
 
 
-@partial(jax.jit, static_argnames=("env", "model", "num_steps", "record_trajs"))
+@partial(jax.jit, static_argnames=("env", "model", "num_steps",
+                                   "record_trajs", "seen_ring"))
 def gbfs_run(env: Environment, model: ResnetValueNet, params, batch_stats,
              states: jnp.ndarray, eps: jnp.ndarray, key: jax.Array,
-             num_steps: int, record_trajs: bool = True) -> GBFSResult:
+             num_steps: int, record_trajs: bool = True,
+             seen_ring: int = SEEN_RING) -> GBFSResult:
     """Run `num_steps` of batched GBFS from `states` with per-instance
-    epsilon-greedy exploration (updater.py:12: eps ~ U[0, eps_max))."""
+    epsilon-greedy exploration (updater.py:12: eps ~ U[0, eps_max)).
+
+    `seen_ring` is the per-instance seen-set window (the reference keeps an
+    unbounded set, gbfs.py:114-118; a ring of the last N fingerprints
+    catches cycles up to period N -- see docs/RESULTS.md ring study)."""
     b, w = states.shape
     fp_consts = fingerprint_constants(w)
 
     def init_ring(s):
         f0, f1 = fingerprint(s, fp_consts)
-        ring = jnp.zeros((b, SEEN_RING, 2), dtype=jnp.uint32)
+        ring = jnp.zeros((b, seen_ring, 2), dtype=jnp.uint32)
         ring = ring.at[:, 0, 0].set(f0).at[:, 0, 1].set(f1)
         return ring
 
@@ -108,7 +114,7 @@ def gbfs_run(env: Environment, model: ResnetValueNet, params, batch_stats,
         f0, f1 = fingerprint(s_out, fp_consts)
         ring = ring.at[rows, ring_pos, 0].set(f0)
         ring = ring.at[rows, ring_pos, 1].set(f1)
-        ring_pos = (ring_pos + 1) % SEEN_RING
+        ring_pos = (ring_pos + 1) % seen_ring
 
         solved_out = solved | solved_now
         # trajectory record: visited state s with label ctg (0 if solved);
@@ -121,7 +127,7 @@ def gbfs_run(env: Environment, model: ResnetValueNet, params, batch_stats,
 
     keys = jax.random.split(key, num_steps)
     init = (states, jnp.zeros((b,), bool), jnp.zeros((b,), jnp.int32),
-            init_ring(states), jnp.ones((b,), jnp.int32) % SEEN_RING)
+            init_ring(states), jnp.ones((b,), jnp.int32) % seen_ring)
     (s_fin, solved, steps, _, _), trajs = jax.lax.scan(body, init, keys)
 
     # count terminal solves reached exactly at the horizon
