@@ -130,12 +130,24 @@ def make_train_chunk(env: Environment, model: ResnetValueNet, cfg: AVIConfig,
     # label grouping (explorer updates only): one explorer call labels
     # `group` iterations' worth of roots so its per-step NN batch is
     # group*n_gen*A rows instead of n_gen*A; group must divide chunk_len
-    if num_steps > 1:
-        g0 = cfg.label_group if cfg.label_group > 0 else max(1, 1024 // n_gen)
+    def _auto_group(target_roots):
+        g0 = cfg.label_group if cfg.label_group > 0 else max(
+            1, target_roots // n_gen)
         g0 = max(1, min(g0, chunk_len))
-        group = next(d for d in range(g0, 0, -1) if chunk_len % d == 0)
+        return next(d for d in range(g0, 0, -1) if chunk_len % d == 0)
+
+    if num_steps > 1:
+        group = _auto_group(4096 if pool is None else 1024)
+        gen_group = 1
     else:
         group = 1
+        # envs without a scramble pool (sokoban's hindsight generator runs
+        # an up-to-(100+back_max)-step scan per call) amortize generation
+        # across iterations: one call makes gen_group iterations' worth of
+        # roots, train steps consume per-iteration slices (labels are still
+        # per-slice through the same frozen target — identical data)
+        gen_group = 1 if (pool is not None or cfg.label_group == 1) \
+            else _auto_group(16384)
 
     def constrain_batch(x):
         if mesh is None:
@@ -173,22 +185,26 @@ def make_train_chunk(env: Environment, model: ResnetValueNet, cfg: AVIConfig,
         return TrainState(new_params, new_stats, new_opt, state.itr + 1), loss
 
     def one_iter(carry, target, key):
-        # num_steps == 1: one-step Bellman labels, full-batch matmuls
+        # num_steps == 1: one-step Bellman labels, full-batch matmuls;
+        # gen_group iterations' worth of roots from one generator call
         state, pool_st = carry
         target_params, target_stats = target
         k_gen, _ = jax.random.split(key)
-        pool_st, states = sample_states(pool_st, k_gen, n_gen)
+        pool_st, states = sample_states(pool_st, k_gen, gen_group * n_gen)
+        states_g = states.reshape(gen_group, n_gen, env.state_width)
 
-        if all_zeros:
-            # pre-first-target labels: h == 0 (nnet_utils.py:271-272)
-            solved = env.is_solved(states)
-            y = 1.0 - solved.astype(jnp.float32)
-        else:
-            y, _, _ = bellman_backup(env, model, target_params,
-                                     target_stats, states, clip_zero=True)
-        state, loss = train_step(state, (states, y,
-                                         jnp.ones((n_gen,), jnp.float32)))
-        return (state, pool_st), loss
+        def tstep(st, xs):
+            if all_zeros:
+                # pre-first-target labels: h == 0 (nnet_utils.py:271-272)
+                solved = env.is_solved(xs)
+                y = 1.0 - solved.astype(jnp.float32)
+            else:
+                y, _, _ = bellman_backup(env, model, target_params,
+                                         target_stats, xs, clip_zero=True)
+            return train_step(st, (xs, y, jnp.ones((n_gen,), jnp.float32)))
+
+        state, losses = jax.lax.scan(tstep, state, states_g)
+        return (state, pool_st), losses  # (gen_group,)
 
     def super_iter(carry, target, key):
         # num_steps > 1: explore group*n_gen roots at once, then `group`
@@ -226,12 +242,13 @@ def make_train_chunk(env: Environment, model: ResnetValueNet, cfg: AVIConfig,
     def chunk(state: TrainState, pool_st, target_params, target_stats, key):
         target = (target_params, target_stats)
         if num_steps == 1:
-            keys = jax.random.split(key, chunk_len)
-            return jax.lax.scan(lambda c, k: one_iter(c, target, k),
-                                (state, pool_st), keys)
-        keys = jax.random.split(key, chunk_len // group)
-        carry, losses = jax.lax.scan(lambda c, k: super_iter(c, target, k),
-                                     (state, pool_st), keys)
+            keys = jax.random.split(key, chunk_len // gen_group)
+            carry, losses = jax.lax.scan(lambda c, k: one_iter(c, target, k),
+                                         (state, pool_st), keys)
+        else:
+            keys = jax.random.split(key, chunk_len // group)
+            carry, losses = jax.lax.scan(
+                lambda c, k: super_iter(c, target, k), (state, pool_st), keys)
         return carry, losses.reshape(chunk_len)
 
     return chunk
