@@ -23,7 +23,7 @@ ride inside the packed vector.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -145,6 +145,11 @@ class Sokoban(Environment):
                     resnet_dim=1000, num_resnet_blocks=4, out_dim=1,
                     batch_norm=True)
 
+    def make_scramble_pool(self, back_max: int, num_chains: int):
+        """Domain-specific mixing-chain pool (SokobanScramblePool below);
+        picked up by AVITrainer in place of the generic goal-walk pool."""
+        return SokobanScramblePool(self, back_max, num_chains)
+
     # hindsight state generation ---------------------------------------- #
 
     def _random_walk(self, key: jax.Array, states: jnp.ndarray,
@@ -191,6 +196,97 @@ class Sokoban(Environment):
         agent, boxes, walls, _ = self.unpack(starts)
         states = jnp.concatenate([agent, boxes, walls, final_boxes], axis=1)
         return states.astype(jnp.uint8), depths
+
+
+class SokobanPoolState(NamedTuple):
+    start: jnp.ndarray  # (C, W) packed state at stage-A end (the sample root)
+    cur: jnp.ndarray    # (C, W) packed current walk state
+    phase: jnp.ndarray  # (C,) int32: >=0 stage-B depth, <0 stage-A steps left
+
+
+class SokobanScramblePool:
+    """Two-stage mixing-chain pool for sokoban's hindsight generator.
+
+    The reference distribution (sokoban.py:163-180, mirrored by
+    `Sokoban.generate_scrambles`) is: seed board -> pre-walk U(1,100) steps
+    (stage A, yielding the sample's start position) -> hindsight walk
+    d ~ U(0, back_max) steps (stage B), with the final box layout becoming
+    the goals. A fresh sample therefore costs O(100 + back_max) env steps —
+    ~1100 per root at the training config (train.sh:79), which dominated
+    the training iteration.
+
+    As with `training.scramble_pool.ScramblePool`, one stage-B trajectory
+    passes through EVERY depth 0..back_max: a chain at stage-B phase t
+    emits the valid depth-t sample (start's agent/boxes/walls + cur's
+    boxes as goals). Chains advance one step per iteration; a chain past
+    back_max resets to a fresh seed board with a new U(1,100) stage-A
+    countdown (during which it is simply not sampled — ~5% of chains at
+    steady state). Warm start tiles stage-B phases exactly uniformly.
+    """
+
+    def __init__(self, env: "Sokoban", back_max: int, num_chains: int):
+        if env._boards is None:
+            raise RuntimeError("sokoban pool needs seed boards; "
+                               "call set_boards() first")
+        self.env = env
+        self.back_max = back_max
+        self.num_chains = num_chains
+
+    def _packed_boards(self):
+        b = self.env._boards
+        return self.env.pack(b["agent"], b["boxes"], b["walls"], b["goals"])
+
+    def init(self, key: jax.Array) -> SokobanPoolState:
+        env, c = self.env, self.num_chains
+        k_seed, k_w1, k_w2 = jax.random.split(key, 3)
+        boards = self._packed_boards()
+        idxs = jax.random.randint(k_seed, (c,), 0, boards.shape[0])
+        seeds = boards[idxs]
+        starts, _ = env._random_walk(k_w1, seeds, (1, 100))
+        depths = jnp.arange(c, dtype=jnp.int32) % (self.back_max + 1)
+        curs, _ = env._random_walk(k_w2, starts, (0, self.back_max),
+                                   depths=depths)
+        return SokobanPoolState(starts, curs, depths)
+
+    def advance(self, pool: SokobanPoolState, key: jax.Array) -> SokobanPoolState:
+        env, c = self.env, self.num_chains
+        k_act, k_seed, k_pa = jax.random.split(key, 3)
+        acts = jax.random.randint(k_act, (c,), 0, env.num_actions)
+        nxt = env.step(pool.cur, acts)
+        phase = pool.phase + 1
+        # a chain whose stage-A countdown just expired records its start
+        entering_b = phase == 0
+        start = jnp.where(entering_b[:, None], nxt, pool.start)
+        # chains past back_max reset to a fresh seed + new countdown
+        over = phase > self.back_max
+        boards = self._packed_boards()
+        seed_idx = jax.random.randint(k_seed, (c,), 0, boards.shape[0])
+        pa = jax.random.randint(k_pa, (c,), 1, 101)
+        cur = jnp.where(over[:, None], boards[seed_idx], nxt)
+        phase = jnp.where(over, -pa, phase)
+        return SokobanPoolState(start, cur, phase)
+
+    def sample(self, pool: SokobanPoolState, key: jax.Array, n: int):
+        env, c = self.env, self.num_chains
+        valid = pool.phase >= 0
+        pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+        vlist = jnp.zeros((c,), jnp.int32).at[
+            jnp.where(valid, pos, c)].set(jnp.arange(c, dtype=jnp.int32),
+                                          mode="drop")
+        nv = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
+        idx = vlist[jax.random.randint(key, (n,), 0, nv)]
+        agent, boxes, walls, _ = env.unpack(pool.start[idx])
+        _, cur_boxes, _, _ = env.unpack(pool.cur[idx])
+        states = jnp.concatenate([agent, boxes, walls, cur_boxes],
+                                 axis=1).astype(jnp.uint8)
+        return states, pool.phase[idx]
+
+    def advance_and_sample(self, pool: SokobanPoolState, key: jax.Array,
+                           n: int):
+        k_adv, k_smp = jax.random.split(key)
+        pool = self.advance(pool, k_adv)
+        states, depths = self.sample(pool, k_smp, n)
+        return pool, states, depths
 
 
 def load_boards_from_grid(grid: np.ndarray) -> dict:

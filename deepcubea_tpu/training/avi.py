@@ -49,7 +49,7 @@ from ..models.resnet import (ResnetValueNet, build_model, forward_train,
                              init_variables)
 from .astar_explore import astar_explore
 from .gbfs import bellman_backup, gbfs_run, gbfs_test
-from .scramble_pool import PoolState, ScramblePool
+from .scramble_pool import ScramblePool
 
 
 @dataclasses.dataclass(frozen=True)
@@ -159,8 +159,7 @@ def make_train_chunk(env: Environment, model: ResnetValueNet, cfg: AVIConfig,
     def sample_states(pool_st, key, count):
         if pool is not None:
             pool_st, states, _ = pool.advance_and_sample(pool_st, key, count)
-            pool_st = PoolState(constrain_batch(pool_st.states),
-                                constrain_batch(pool_st.depths))
+            pool_st = jax.tree_util.tree_map(constrain_batch, pool_st)
         else:
             states, _ = env.generate_scrambles(key, count, cfg.back_max)
         return pool_st, constrain_batch(states)
@@ -290,14 +289,16 @@ class AVITrainer:
         self._best_loss_since_swap = float("inf")
         self._stall_count = 0
 
-        # mixing-chain scramble pool (training/scramble_pool.py): only for
-        # envs on the default goal-walk generator (sokoban's hindsight
-        # generator defines its own distribution and keeps the legacy path)
+        # mixing-chain scramble pool: the generic goal-walk pool
+        # (training/scramble_pool.py) for default-generator envs, or the
+        # env's own pool (e.g. sokoban's two-stage hindsight pool,
+        # envs/sokoban.py) when it provides make_scramble_pool
         self.pool = None
         self.pool_state = None
         uses_default_gen = (type(env).generate_scrambles
                             is Environment.generate_scrambles)
-        if cfg.scramble_pool != 0 and uses_default_gen:
+        custom_pool = getattr(env, "make_scramble_pool", None)
+        if cfg.scramble_pool != 0 and (uses_default_gen or custom_pool):
             if cfg.scramble_pool > 0:
                 chains = cfg.scramble_pool
             else:
@@ -308,7 +309,8 @@ class AVITrainer:
                 data = mesh.devices.shape[list(mesh.axis_names).index("data")]
                 period = (cfg.back_max + 1) * data
                 chains = math.ceil(chains / period) * period
-            self.pool = ScramblePool(env, cfg.back_max, chains)
+            self.pool = (custom_pool(cfg.back_max, chains) if custom_pool
+                         else ScramblePool(env, cfg.back_max, chains))
 
     def _shard_state(self, state: TrainState) -> TrainState:
         if self.mesh is None:
@@ -356,12 +358,11 @@ class AVITrainer:
         self.pool_state = jax.jit(self.pool.init)(k)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            self.pool_state = PoolState(
-                jax.device_put(self.pool_state.states,
-                               NamedSharding(self.mesh, P("data", None))),
-                jax.device_put(self.pool_state.depths,
-                               NamedSharding(self.mesh, P("data"))))
-        jax.block_until_ready(self.pool_state.states)
+            self.pool_state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, NamedSharding(
+                    self.mesh, P("data", *([None] * (x.ndim - 1))))),
+                self.pool_state)
+        jax.block_until_ready(self.pool_state[0])
         self.log(f"scramble pool: {self.pool.num_chains} chains warmed in "
                  f"{time.time() - t0:.1f}s")
 

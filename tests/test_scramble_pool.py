@@ -93,9 +93,7 @@ def test_trainer_integration_with_pool():
     assert int(t.itr) == 3
 
 
-def test_sokoban_keeps_custom_generator():
-    from deepcubea_tpu.training import AVIConfig, AVITrainer
-    from deepcubea_tpu.models import build_model
+def _sokoban_env(n_boards=8):
     import pickle
 
     from deepcubea_tpu.envs.sokoban import load_boards_from_grid
@@ -103,10 +101,55 @@ def test_sokoban_keeps_custom_generator():
     env = get_environment("sokoban")
     with open("/root/reference/data/sokoban/data_0.pkl", "rb") as f:
         grid = np.asarray(pickle.load(f))
-    env.set_boards(load_boards_from_grid(grid[:8]))
+    env.set_boards(load_boards_from_grid(grid[:n_boards]))
+    return env
+
+
+def test_sokoban_uses_two_stage_pool():
+    from deepcubea_tpu.envs.sokoban import SokobanScramblePool
+    from deepcubea_tpu.training import AVIConfig, AVITrainer
+    from deepcubea_tpu.models import build_model
+
+    env = _sokoban_env()
     cfg = AVIConfig(back_max=4, batch_size=8, states_per_update=16,
                     num_test=4, loss_thresh=100.0, scramble_pool=-1)
     nc = dict(env.nnet_config)
     nc.update(h1_dim=32, resnet_dim=16, num_resnet_blocks=1)
     t = AVITrainer(env, cfg, model=build_model(nc), log=lambda *a: None)
-    assert t.pool is None  # hindsight generator, pool must stay off
+    assert isinstance(t.pool, SokobanScramblePool)
+    loss = t.run_update()
+    assert np.isfinite(loss)
+
+
+def test_sokoban_pool_matches_hindsight_distribution():
+    """Pool samples at depth d track the fresh hindsight generator: valid
+    walls/boxes invariants, depth-0 solved, and a similar solved-fraction
+    profile by depth."""
+    env = _sokoban_env(16)
+    back_max = 6
+    pool = env.make_scramble_pool(back_max, (back_max + 1) * 128)
+    st = pool.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    for _ in range(2 * (back_max + 1) + 5):  # through resets + stage A
+        key, k = jax.random.split(key)
+        st = pool.advance(st, k)
+    key, k = jax.random.split(key)
+    samples, depths = pool.sample(st, k, 2048)
+    samples, depths = np.asarray(samples), np.asarray(depths)
+    assert (depths >= 0).all() and (depths <= back_max).all()
+    # depth 0: goals == boxes by construction -> solved
+    solved = np.asarray(env.is_solved(jnp.asarray(samples)))
+    assert solved[depths == 0].all()
+    # every sample has the right box/goal count and walls from a seed board
+    _, boxes, walls, goals = env.unpack(jnp.asarray(samples))
+    assert (np.asarray(boxes).sum(1) == env.num_boxes).all()
+    assert (np.asarray(goals).sum(1) == env.num_boxes).all()
+
+    fresh, fdep = env.generate_scrambles(jax.random.PRNGKey(2), 2048,
+                                         back_max)
+    fsolved = np.asarray(env.is_solved(fresh))
+    fdep = np.asarray(fdep)
+    for d in range(back_max + 1):
+        a = solved[depths == d].mean()
+        b = fsolved[fdep == d].mean()
+        assert abs(a - b) < 0.15, (d, a, b)
