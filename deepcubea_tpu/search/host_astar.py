@@ -150,12 +150,18 @@ class HostAStar:
                 parent_ids = np.repeat(pop_ids[:n], a)
                 actions = np.tile(np.arange(a, dtype=np.int32), n)
                 child_g = np.repeat(pop_g[:n] + 1, a).astype(np.int32)
+                # BIND the staging buffers: `.ctypes.data` is a bare int
+                # address, so an unbound np.ascontiguousarray temporary
+                # (e.g. the bool->uint8 solved copy) is garbage-collected
+                # before the C call reads it — this produced spurious
+                # "solved" flags and invalid solutions at scale
+                ch_c = np.ascontiguousarray(children)
+                h_c = np.ascontiguousarray(h, np.float32)
+                sv_c = np.ascontiguousarray(solved, np.uint8)
                 lib.dca_push_children(
                     hs, n * a, parent_ids.ctypes.data, actions.ctypes.data,
-                    np.ascontiguousarray(children).ctypes.data,
-                    child_g.ctypes.data,
-                    np.ascontiguousarray(h, np.float32).ctypes.data,
-                    np.ascontiguousarray(solved, np.uint8).ctypes.data)
+                    ch_c.ctypes.data, child_g.ctypes.data,
+                    h_c.ctypes.data, sv_c.ctypes.data)
 
             goal_id = lib.dca_goal_id(hs)
             solution: Optional[List[int]] = None
