@@ -514,7 +514,6 @@ class BatchWeightedAStar:
             self.batch_stats = jax.device_put(self.batch_stats,
                                               self._repl_sharding)
 
-        goal_row = np.asarray(self.env.goal_states(1))[0]
         slot_root = np.arange(i_slots)          # root index per slot, -1 idle
         t_assign = np.full(i_slots, t_start)
         next_idx = i_slots
@@ -573,20 +572,21 @@ class BatchWeightedAStar:
                     t_assign[slot] = now
                     next_idx += 1
                 else:
-                    # no work left: park the slot on the goal (solves at
-                    # reset, stays done, pops masked)
-                    mask[slot] = True
-                    new_roots[slot] = goal_row
+                    # no work left: leave the slot idle. A done slot never
+                    # pops; an over-budget (not-done) slot keeps popping
+                    # uselessly but harvesting already recorded its result,
+                    # and the stream is in its final drain anyway.
                     slot_root[slot] = -1
 
-            m = jnp.asarray(mask)
-            r = jnp.asarray(new_roots)
-            w_ = jnp.asarray(new_w)
-            if self._inst_sharding is not None:
-                m = jax.device_put(m, self._inst_sharding)
-                r = jax.device_put(r, self._inst_sharding)
-                w_ = jax.device_put(w_, self._inst_sharding)
-            state = self._reset(state, m, r, w_)
+            if mask.any():
+                m = jnp.asarray(mask)
+                r = jnp.asarray(new_roots)
+                w_ = jnp.asarray(new_w)
+                if self._inst_sharding is not None:
+                    m = jax.device_put(m, self._inst_sharding)
+                    r = jax.device_put(r, self._inst_sharding)
+                    w_ = jax.device_put(w_, self._inst_sharding)
+                state = self._reset(state, m, r, w_)
             if verbose:
                 log(f"stream: {completed}/{n} done, itr {total_iters}, "
                     f"in-flight {int((slot_root >= 0).sum())}")

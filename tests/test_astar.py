@@ -297,3 +297,29 @@ def test_solve_stream_budget_unsolved():
     for i in (1, 2, 3):
         assert res.solutions[i] is not None, i
         assert is_valid_solution(env, roots[i], res.solutions[i])
+
+
+def test_solve_stream_env_without_goal_states():
+    """Streaming must not require env.goal_states (sokoban has per-instance
+    hindsight goals); idle slots just stay done."""
+    import pickle
+
+    from deepcubea_tpu.envs import get_environment
+    from deepcubea_tpu.envs.sokoban import load_boards_from_grid
+
+    env = get_environment("sokoban")
+    with open("/root/reference/data/sokoban/data_0.pkl", "rb") as f:
+        grid = np.asarray(pickle.load(f))
+    env.set_boards(load_boards_from_grid(grid[:8]))
+    roots, _ = env.generate_scrambles(jax.random.PRNGKey(11), 5, 6)
+    model, params, stats = zero_heuristic_model(env)
+    cfg = AStarConfig(weight=1.0, batch_size=8, pool_capacity=1 << 11,
+                      table_capacity=1 << 12, max_path_len=32)
+    solver = BatchWeightedAStar(env, model, params, stats, cfg)
+    res = solver.solve_stream(np.asarray(roots), instances=2,
+                              max_iters_per=200, check_every=1)
+    solved = [s for s in res.solutions if s is not None]
+    assert len(solved) >= 4  # depth<=6 walks are mostly solvable
+    for i, s in enumerate(res.solutions):
+        if s is not None:
+            assert is_valid_solution(env, np.asarray(roots)[i], s)
