@@ -33,55 +33,17 @@ from deepcubea_tpu.training.heuristic import heuristic_values
 REF = "/root/reference"
 
 
-def lightsout_matrix(dim: int = 7) -> np.ndarray:
-    n = dim * dim
-    a = np.zeros((n, n), np.uint8)
-    for i in range(dim):
-        for j in range(dim):
-            k = i * dim + j
-            a[k, k] = 1
-            if i > 0:
-                a[k, (i - 1) * dim + j] = 1
-            if i < dim - 1:
-                a[k, (i + 1) * dim + j] = 1
-            if j > 0:
-                a[k, i * dim + j - 1] = 1
-            if j < dim - 1:
-                a[k, i * dim + j + 1] = 1
-    return a
+from deepcubea_tpu.envs.lightsout_oracle import LightsOutOracle
 
 
-def gf2_inv(a: np.ndarray) -> np.ndarray:
-    n = a.shape[0]
-    m = np.concatenate([a.copy() % 2, np.eye(n, dtype=np.uint8)], axis=1)
-    r = 0
-    for c in range(n):
-        piv = None
-        for i in range(r, n):
-            if m[i, c]:
-                piv = i
-                break
-        if piv is None:
-            raise ValueError(f"singular at col {c}")
-        m[[r, piv]] = m[[piv, r]]
-        mask = m[:, c].copy()
-        mask[r] = 0
-        m ^= np.outer(mask, m[r])
-        r += 1
-    return m[:, n:]
-
-
-def optimal_costs(states: np.ndarray, ainv: np.ndarray) -> np.ndarray:
-    # states (B,49) uint8 in {0,1}; solution x = A^{-1} s  (mod 2)
-    x = (states.astype(np.int64) @ ainv.T.astype(np.int64)) % 2
-    return x.sum(axis=1)
+def optimal_costs(states, oracle):
+    return oracle.optimal_costs(states)
 
 
 def main():
     env = get_environment("lightsout7")
-    a = lightsout_matrix(7)
-    ainv = gf2_inv(a)
-    assert ((a.astype(int) @ ainv.astype(int)) % 2 == np.eye(49)).all()
+    oracle = LightsOutOracle(7)
+    assert oracle.rank == 49
 
     # sanity: oracle vs BFS on shallow scrambles
     rng = np.random.default_rng(0)
@@ -111,7 +73,7 @@ def main():
         states, _ = env.generate_scrambles(
             k1, 512, max(depth, 1), depths=jnp.full((512,), depth, jnp.int32))
         s_np = np.asarray(states)
-        opt = optimal_costs(s_np, ainv)
+        opt = optimal_costs(s_np, oracle)
         row = f"{depth:>5} {opt.mean():>8.2f} "
         for n, (model, params, stats) in nets.items():
             h = np.asarray(heuristic_values(env, model, params, stats,
@@ -123,7 +85,7 @@ def main():
     from deepcubea_tpu.utils.compat import load_test_set
     test = load_test_set(f"{REF}/data/lightsout7/test/data_0.pkl", env)
     s_np = np.asarray(test["states"])[:500]
-    opt = optimal_costs(s_np, ainv)
+    opt = optimal_costs(s_np, oracle)
     print(f"\n=== reference test set (n={len(s_np)}) ===")
     print(f"optimal: mean {opt.mean():.2f} min {opt.min()} max {opt.max()}")
     print("(reference solved avg 24.26 — optimality rate was unknown upstream)")
