@@ -59,6 +59,10 @@ def parse_args(argv=None):
     p.add_argument("--max_iters_per", type=int, default=None,
                    help="per-state step budget for --stream (default: "
                         "--max_iters)")
+    p.add_argument("--resume", action="store_true", default=False,
+                   help="reload results_dir/results.pkl and solve only the "
+                        "states it has no solution for (campaign restart "
+                        "after an interruption)")
     p.add_argument("--retry_unsolved", type=float, default=0.0,
                    help="after the sweep, re-solve unsolved states alone "
                         "with max_iters scaled by this factor (0 = off)")
@@ -197,14 +201,33 @@ def main(argv=None):
                    solutions=[None] * n, paths=[None] * n,
                    times=[0.0] * n, num_nodes_generated=[0] * n)
 
-    if args.stream and args.engine == "device":
+    if args.resume:
+        prev_path = os.path.join(args.results_dir, "results.pkl")
+        if os.path.exists(prev_path):
+            with open(prev_path, "rb") as f:
+                prev = pickle.load(f)
+            if (len(prev.get("solutions", [])) == n
+                    and np.array_equal(np.asarray(prev["states"]), states)):
+                for k in ("solutions", "paths", "times",
+                          "num_nodes_generated"):
+                    results[k] = list(prev[k])
+                ndone = sum(s is not None for s in results["solutions"])
+                print(f"resume: {ndone}/{n} already solved, skipping them")
+            else:
+                print("resume: existing results.pkl does not match the "
+                      "state set; starting fresh")
+        order = np.array([i for i in order
+                          if results["solutions"][i] is None], np.int64)
+
+    n_work = len(order)
+    if args.stream and args.engine == "device" and n_work > 0:
         _solve_streaming(args, env, solver, states, order, results)
         sweep_batches = []  # stream covered everything; retries still apply
     else:
-        sweep_batches = list(range(0, n, args.instances))
+        sweep_batches = list(range(0, n_work, args.instances))
 
     for lo in sweep_batches:
-        hi = min(lo + args.instances, n)
+        hi = min(lo + args.instances, n_work)
         batch_idx = order[lo:hi]
         roots_np = states[batch_idx]
         # ragged tail: pad with copies of the last root so the compiled

@@ -140,3 +140,40 @@ def test_solve_stream_cli(workdir, capsys):
     assert [len(s) for s in res_t["solutions"]] == \
         [len(s) for s in res["solutions"]]
     assert all(t > 0 for t in res_t["times"])
+
+
+def test_solve_resume_cli(workdir, capsys):
+    """--resume reloads results.pkl and solves only the missing states."""
+    from deepcubea_tpu.cli import solve
+
+    # fabricate an interrupted campaign: drop 3 solutions from a finished run
+    with open(os.path.join(workdir, "results", "results.pkl"), "rb") as f:
+        res = pickle.load(f)
+    removed = [1, 4, 6]
+    for i in removed:
+        res["solutions"][i] = None
+        res["paths"][i] = None
+    os.makedirs("results_resume", exist_ok=True)
+    with open(os.path.join(workdir, "results_resume", "results.pkl"),
+              "wb") as f:
+        pickle.dump(res, f)
+
+    solve.main(["--states", "testset/data_0.pkl", "--model",
+                "saved_models/lo3/current", "--env", "lightsout3",
+                "--weight", "1.0", "--batch_size", "16", "--instances", "3",
+                "--resume", "--stream", "--pool_capacity", "4096",
+                "--table_capacity", "8192", "--results_dir",
+                "results_resume", "--max_iters", "100", "--debug"])
+    out = capsys.readouterr().out
+    assert "resume: 5/8 already solved" in out
+    # only the removed states were re-solved
+    for i in removed:
+        assert f"State: {i}," in out
+    assert "State: 0," not in out
+    with open(os.path.join(workdir, "results_resume", "results.pkl"),
+              "rb") as f:
+        res_r = pickle.load(f)
+    with open(os.path.join(workdir, "results", "results.pkl"), "rb") as f:
+        res_full = pickle.load(f)
+    assert [len(s) for s in res_r["solutions"]] == \
+        [len(s) for s in res_full["solutions"]]
