@@ -74,6 +74,10 @@ def parse_args(argv=None):
                    help="closed-table probe depth; each probe is one fused "
                         "table gather (~latency-bound), lower = faster "
                         "steps, more overflow-accepts at high load")
+    p.add_argument("--int8", action="store_true", default=False,
+                   help="serve the heuristic via the int8-quantized folded "
+                        "net (models/quant.py): ~2x MXU throughput on the "
+                        "matmuls, ~0.1-unit extra heuristic noise")
     p.add_argument("--engine", type=str, default="device",
                    choices=["device", "hybrid", "sharded"],
                    help="device: fully on-accelerator batched BWAS; "
@@ -138,6 +142,9 @@ def main(argv=None):
     params, stats, nnet_config = load_model_variables(args.model, env,
                                                       overrides)
     model = build_model(nnet_config)
+    if args.int8:
+        from ..models.quant import quantize_serving
+        params, stats = quantize_serving(model, params, stats), {}
 
     print(f"devices: {jax.devices()}")
     if args.engine == "hybrid":

@@ -28,8 +28,16 @@ def heuristic_values(env: Environment, model: ResnetValueNet, params,
 
     clip_zero mirrors the reference's max(ctg, 0) for search serving
     (nnet_utils.py:193-194).
+
+    `params` may be an int8 serving tree from models.quant.quantize_serving
+    (pass batch_stats={} then); the marker key routes to the quantized
+    forward, so all search engines pick up --int8 without code changes.
     """
-    h = forward_eval(model, params, batch_stats, env.encode(states))
+    from ..models.quant import is_quantized, quant_forward
+    if is_quantized(params):
+        h = quant_forward(model, params, env.encode(states))
+    else:
+        h = forward_eval(model, params, batch_stats, env.encode(states))
     if clip_zero:
         h = jnp.maximum(h, 0.0)
     return h
