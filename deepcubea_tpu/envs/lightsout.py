@@ -84,3 +84,14 @@ class LightsOut(Environment):
         return dict(state_dim=self.state_width, one_hot_depth=6, h1_dim=5000,
                     resnet_dim=1000, num_resnet_blocks=4, out_dim=1,
                     batch_norm=True)
+
+    def optimal_costs(self, states) -> np.ndarray:
+        """Exact optimal press counts via the GF(2) oracle
+        (lightsout_oracle.py). Host-side numpy — evaluation/diagnostic
+        capability the reference never had (its lightsout7 baseline lists
+        optimal as n/a); -1 marks unsolvable states (singular boards only).
+        """
+        if not hasattr(self, "_oracle"):
+            from .lightsout_oracle import LightsOutOracle
+            self._oracle = LightsOutOracle(self.dim)
+        return self._oracle.optimal_costs(np.asarray(states))

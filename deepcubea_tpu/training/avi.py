@@ -49,6 +49,7 @@ from ..models.resnet import (ResnetValueNet, build_model, forward_train,
                              init_variables)
 from .astar_explore import astar_explore
 from .gbfs import bellman_backup, gbfs_run, gbfs_test
+from .heuristic import heuristic_values
 from .scramble_pool import ScramblePool
 
 
@@ -465,6 +466,24 @@ class AVITrainer:
                           self.state.batch_stats, self.cfg.num_test,
                           self.cfg.back_max, k, max_solve_steps=max_steps,
                           log=self.log)
+        if hasattr(self.env, "optimal_costs"):
+            # Exact-oracle probe (envs that can certify optimal costs, e.g.
+            # LightsOut's GF(2) solve): fixed probe set so the accuracy
+            # curve is comparable update-to-update. Catches a value-function
+            # stall (round-2 lightsout7 defect) within a few updates instead
+            # of at end-of-training solve time.
+            probe, _ = self.env.generate_scrambles(
+                jax.random.PRNGKey(0xD1A6), 512, self.cfg.back_max,
+                depths=jnp.full((512,), self.cfg.back_max, jnp.int32))
+            h = np.asarray(heuristic_values(
+                self.env, self.model, self.state.params,
+                self.state.batch_stats, probe, clip_zero=True))
+            opt = np.asarray(self.env.optimal_costs(probe))
+            m = opt >= 0
+            corr = float(np.corrcoef(h[m], opt[m])[0, 1]) if m.sum() > 1 else 0.0
+            self.log(f"Oracle: pred {h[m].mean():.2f} vs optimal "
+                     f"{opt[m].mean():.2f}, MAD {np.abs(h[m] - opt[m]).mean():.2f}, "
+                     f"corr {corr:.3f} (depth-{self.cfg.back_max} probe)")
         self.log(f"Test time: {time.time() - t0:.2f}")
         return stats
 
