@@ -5,7 +5,10 @@ batch 1 and a per-instance random weight in [0, 1); every POPPED node is
 labeled with its one-step Bellman backup — min over children of
 (tc + h_target(child)), 0 if the node is solved (astar.py:37-44
 Node.compute_bellman) — and `is_solved` reports whether any popped node was
-a goal (astar.py:319-325 has_found_goal).
+a goal (astar.py:319-325 has_found_goal). An instance that pops a goal
+retires: the goal pop is its last labeled sample (reference astar.py:262
+excludes instances with goal_nodes from subsequent steps), so labeled data
+concentrates on the roots the current value function cannot yet solve.
 
 Device design: a mini open list per instance as fixed arrays of capacity
 1 + num_steps * A (each step consumes one node and appends A children), a
@@ -42,7 +45,7 @@ from .heuristic import heuristic_values
 class AStarExploreResult(NamedTuple):
     traj_states: jnp.ndarray  # (K, I, W) popped states
     traj_ctg: jnp.ndarray     # (K, I) Bellman labels
-    traj_valid: jnp.ndarray   # (K, I) pop was real (open non-empty)
+    traj_valid: jnp.ndarray   # (K, I) pop was real and instance not retired
     is_solved: jnp.ndarray    # (I,) a goal node was popped
 
 
@@ -71,7 +74,14 @@ def astar_explore(env: Environment, model: ResnetValueNet, params,
     def body(carry, step):
         (o_states, o_g, o_f, o_fp0, o_fp1, c_fp0, c_fp1, found_goal) = carry
         best = jnp.argmin(o_f, axis=1)                     # (I,)
-        valid = jnp.isfinite(o_f[rows, best])
+        # an instance retires once it pops a goal (reference astar.py:262
+        # filters instances with goal_nodes out of every later step): the
+        # goal pop itself is labeled 0, everything after is masked out.
+        # Without this, solved instances keep popping near-goal states for
+        # the rest of the run and trivial labels crowd out the deep states
+        # the value function still has to learn (measured on lightsout5:
+        # 47% of labels had optimal cost <= 2).
+        valid = jnp.isfinite(o_f[rows, best]) & ~found_goal
         pop_s = o_states[rows, best]                       # (I, W)
         pop_g = o_g[rows, best]
         pop_fp0 = o_fp0[rows, best]

@@ -208,12 +208,14 @@ def make_train_chunk(env: Environment, model: ResnetValueNet, cfg: AVIConfig,
 
     def super_iter(carry, target, key):
         # num_steps > 1: explore group*n_gen roots at once, then `group`
-        # train steps each consuming its own roots' trajectories — same
-        # data, same step-major ordering, same per-step lr decay as the
-        # ungrouped loop
+        # train steps over a globally shuffled view of the call's whole
+        # label pool (reference make_batches, nnet_utils.py:30-48, shuffles
+        # the full update's data before batching; without the shuffle each
+        # gradient step would see only n_gen roots' correlated trajectories
+        # — 5 roots/batch at num_steps=200)
         state, pool_st = carry
         target_params, target_stats = target
-        k_gen, k_run = jax.random.split(key)
+        k_gen, k_run, k_shuf = jax.random.split(key, 3)
         nb = group * n_gen
         pool_st, states = sample_states(pool_st, k_gen, nb)
 
@@ -229,12 +231,13 @@ def make_train_chunk(env: Environment, model: ResnetValueNet, cfg: AVIConfig,
                            eps, k_gbfs, num_steps, seen_ring=cfg.seen_ring)
 
         k_, w_ = num_steps, env.state_width
-        xs = res.traj_states.reshape(k_, group, n_gen, w_).transpose(
-            1, 0, 2, 3).reshape(group, k_ * n_gen, w_)
-        y = res.traj_ctg.reshape(k_, group, n_gen).transpose(
-            1, 0, 2).reshape(group, k_ * n_gen)
-        wt = res.traj_valid.reshape(k_, group, n_gen).transpose(
-            1, 0, 2).reshape(group, k_ * n_gen).astype(jnp.float32)
+        n_lab = k_ * nb
+        perm = jax.random.permutation(k_shuf, n_lab)
+        xs = res.traj_states.reshape(n_lab, w_)[perm].reshape(
+            group, k_ * n_gen, w_)
+        y = res.traj_ctg.reshape(n_lab)[perm].reshape(group, k_ * n_gen)
+        wt = res.traj_valid.reshape(n_lab)[perm].reshape(
+            group, k_ * n_gen).astype(jnp.float32)
         state, losses = jax.lax.scan(train_step, state, (xs, y, wt))
         return (state, pool_st), losses  # (group,)
 
