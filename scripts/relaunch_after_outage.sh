@@ -58,7 +58,16 @@ nohup python -m deepcubea_tpu.cli.solve --states /root/reference/data/puzzle24/t
 log "puzzle24 solve pid $!"
 sleep 60
 
-# 5. puzzle35 trainer resume (570k/1M itrs checkpointed)
+# 5. cube3 w=0.6 full-1000 campaign (resume from 525/1000)
+nohup python -m deepcubea_tpu.cli.solve --states /root/reference/data/cube3/test/data_0.pkl \
+  --model saved_models/cube3_r2/current --env cube3 --weight 0.6 --batch_size 10000 \
+  --instances 2 --pool_capacity 16777216 --table_capacity 33554432 --max_probes 6 \
+  --approx_pop --stream --sort_by_h --max_iters 3000 \
+  --results_dir results/cube3_r2 --resume >> /tmp/cube3_solve_r2.log 2>&1 &
+log "cube3_r2 solve pid $!"
+sleep 60
+
+# 6. puzzle35 trainer resume (570k/1M itrs checkpointed)
 nohup python -m deepcubea_tpu.cli.train --env puzzle35 --states_per_update 50000000 \
   --batch_size 10000 --nnet_name puzzle35 --max_itrs 1000000 --loss_thresh 1.0 \
   --back_max 1000 --max_update_steps 200 --plateau_promote 3 --scramble_pool -1 \
