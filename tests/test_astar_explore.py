@@ -52,3 +52,38 @@ def test_avi_trains_with_astar_update():
     t.maybe_swap_target()
     loss = t.run_update()   # update 1: num_steps=2, astar explorer
     assert np.isfinite(loss)
+
+
+def test_instance_retires_after_goal_pop():
+    # reference astar.py:262: an instance with goal_nodes is excluded from
+    # every later step; the goal pop itself is the last valid label (0.0)
+    env, model, params, stats = setup()
+    goals = env.goal_states(4)
+    weights = jnp.full((4,), 0.5)
+    res = astar_explore(env, model, params, stats, goals, weights, 5)
+    valid = np.asarray(res.traj_valid)
+    np.testing.assert_array_equal(valid[0], True)    # goal pop labeled
+    np.testing.assert_array_equal(valid[1:], False)  # then retired
+    np.testing.assert_array_equal(np.asarray(res.traj_ctg[0]), 0.0)
+
+
+def test_unsolvable_horizon_instances_stay_live():
+    # deep scrambles under a random net: no goal popped in 4 steps, every
+    # pop stays a valid labeled sample
+    env, model, params, stats = setup()
+    key = jax.random.PRNGKey(7)
+    states, _ = env.generate_scrambles(
+        key, 6, 8, depths=jnp.full((6,), 8, jnp.int32))
+    unsolved = ~np.asarray(env.is_solved(states))
+    weights = jax.random.uniform(jax.random.PRNGKey(8), (6,))
+    res = astar_explore(env, model, params, stats, states, weights, 4)
+    valid = np.asarray(res.traj_valid)
+    solved_seen = np.zeros(6, bool)
+    labels = np.asarray(res.traj_ctg)
+    pops = np.asarray(res.traj_states)
+    for k in range(4):
+        for i in range(6):
+            if unsolved[i] and not solved_seen[i]:
+                assert valid[k, i]
+            if valid[k, i] and env.is_solved(pops[k])[i]:
+                solved_seen[i] = True
