@@ -74,4 +74,15 @@ nohup python -m deepcubea_tpu.cli.train --env puzzle35 --states_per_update 50000
   --num_test 10000 --save_dir runs >> runs/puzzle35_train.log 2>&1 &
 log "puzzle35 train pid $!"
 
+sleep 60
+
+# 7. sokoban: retry the 19 unsolved states with a 16x iteration budget
+#    (campaign solved 981/1000 at ~1026 iters; reference: 1000/1000)
+nohup python -m deepcubea_tpu.cli.solve --states /root/reference/data/sokoban/test/data_0.pkl \
+  --model saved_models/sokoban/current --env sokoban --weight 0.8 --batch_size 4 \
+  --instances 1 --stream --max_iters 16384 --pool_capacity 2097152 \
+  --table_capacity 4194304 --max_probes 6 --approx_pop \
+  --results_dir results/sokoban --resume >> /tmp/sokoban_retry.log 2>&1 &
+log "sokoban retry pid $!"
+
 log "all relaunched"
