@@ -36,6 +36,10 @@ def main():
     model = build_model(env.nnet_config)
     params, stats = init_variables(model, jax.random.PRNGKey(0),
                                    env.encode(env.goal_states(2)))
+    # production serving config: int8-quantized folded net (cli.solve --int8;
+    # quality-validated in tests/test_quant.py e2e equal-length solves)
+    from deepcubea_tpu.models.quant import quantize_serving
+    params, stats = quantize_serving(model, params, stats), {}
 
     # approx top-k pop (recall 0.95): weighted A* is robust to mild pop-order
     # perturbation; solution quality is tracked separately by cli.solve +
