@@ -444,8 +444,18 @@ class BatchWeightedAStar:
                 iters += 1
             done = np.asarray(state.done)
             if verbose:
+                # open/closed-size + overflow breakdown, the analogue of the
+                # reference C++ per-iteration stats print
+                # (cpp/parallel_weighted_astar.cpp:323-327); phase *times*
+                # are deliberately left to jax.profiler (utils/profiling.py).
+                fill = jnp.mean(
+                    jnp.sum(state.tbl.fp0 != 0, axis=1)
+                    / state.tbl.fp0.shape[1])
                 log(f"itr {iters}: done {int(done.sum())}/{done.size}, "
-                    f"nodes {int(np.asarray(state.size).max()):,}")
+                    f"nodes {int(np.asarray(state.size).max()):,}, "
+                    f"closed {float(fill):.1%} full, "
+                    f"dropped {int(np.asarray(state.pool_dropped).max()):,}, "
+                    f"tbl_ovf {int(np.asarray(state.tbl_overflow).max()):,}")
             if done.all():
                 break
 
@@ -589,7 +599,9 @@ class BatchWeightedAStar:
                 state = self._reset(state, m, r, w_)
             if verbose:
                 log(f"stream: {completed}/{n} done, itr {total_iters}, "
-                    f"in-flight {int((slot_root >= 0).sum())}")
+                    f"in-flight {int((slot_root >= 0).sum())}, "
+                    f"dropped {int(np.asarray(state.pool_dropped).max()):,}, "
+                    f"tbl_ovf {int(np.asarray(state.tbl_overflow).max()):,}")
 
         return SolveResult(
             solutions=solutions,
