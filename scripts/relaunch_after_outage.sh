@@ -76,12 +76,14 @@ log "puzzle35 train pid $!"
 
 sleep 60
 
-# 7. sokoban: retry the 19 unsolved states with a 16x iteration budget
-#    (campaign solved 981/1000 at ~1026 iters; reference: 1000/1000)
+# 7. sokoban: retry the 19 unsolved states. batch_size is the pop width, so
+#    the node budget is max_iters*batch_size*4 — the original B=4/16k-iter
+#    retry capped at ~260k generated nodes and never touched its pool; this
+#    config reaches ~33M generated against an 8M pool (fits HBM at 1 instance).
 nohup python -m deepcubea_tpu.cli.solve --states /root/reference/data/sokoban/test/data_0.pkl \
-  --model saved_models/sokoban/current --env sokoban --weight 0.8 --batch_size 4 \
-  --instances 1 --stream --max_iters 16384 --pool_capacity 2097152 \
-  --table_capacity 4194304 --max_probes 6 --approx_pop \
+  --model saved_models/sokoban/current --env sokoban --weight 0.8 --batch_size 256 \
+  --instances 1 --stream --max_iters 32768 --pool_capacity 8388608 \
+  --table_capacity 16777216 --max_probes 6 --approx_pop \
   --results_dir results/sokoban --resume >> /tmp/sokoban_retry.log 2>&1 &
 log "sokoban retry pid $!"
 
