@@ -11,7 +11,10 @@ does not depend on heuristic quality, termination is disabled by depth).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import contextlib
 import json
+import os
+import signal
 import sys
 import time
 
@@ -21,12 +24,71 @@ import numpy as np
 
 BASELINE_NODES_PER_S = 108_000.0
 
+PIDFILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "logs", "tpu_jobs.pids")
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+@contextlib.contextmanager
+def pause_background_jobs():
+    """SIGSTOP this repo's own background TPU jobs for the measurement.
+
+    Training/solve campaigns run continuously on the single chip; the bench
+    measures hardware capability, not time-slice share, so our own jobs
+    (exact PIDs recorded at launch in logs/tpu_jobs.pids, verified to be
+    python processes working in this repo) are paused and always resumed —
+    including on crash — via finally + a last-resort atexit hook.
+    """
+    pids = []
+    try:
+        with open(PIDFILE) as f:
+            cands = [int(x) for x in f.read().split()]
+    except (OSError, ValueError):
+        cands = []
+    me = os.getpid()
+    for p in cands:
+        try:
+            if p == me or not os.path.exists(f"/proc/{p}"):
+                continue
+            if os.readlink(f"/proc/{p}/cwd") != "/root/repo":
+                continue
+            os.kill(p, signal.SIGSTOP)
+            pids.append(p)
+        except OSError:
+            continue
+    if pids:
+        log(f"paused background jobs for measurement: {pids}")
+        import atexit
+
+        def resume():
+            for p in pids:
+                try:
+                    os.kill(p, signal.SIGCONT)
+                except OSError:
+                    pass
+        atexit.register(resume)
+        time.sleep(5)  # let already-enqueued device programs drain
+    try:
+        yield
+    finally:
+        for p in pids:
+            try:
+                os.kill(p, signal.SIGCONT)
+            except OSError:
+                pass
+        if pids:
+            log("resumed background jobs")
+
+
 def main():
+    with pause_background_jobs():
+        _main()
+
+
+def _main():
     from deepcubea_tpu.envs import Cube3
     from deepcubea_tpu.models import build_model, init_variables
     from deepcubea_tpu.search import AStarConfig, astar_init, make_astar_step
