@@ -47,6 +47,12 @@ def parse_args(argv=None):
                    help="mixing-chain scramble pool size: -1 auto (on), "
                         "0 off (fresh back_max-scan per iteration), >0 "
                         "explicit chain count (training/scramble_pool.py)")
+    p.add_argument("--double_q", action="store_true", default=False,
+                   help="double-Q Bellman labels: argmin child selected by "
+                        "the current net, evaluated by the target net; "
+                        "removes the min-over-children selection bias that "
+                        "can freeze value iteration below the true cost "
+                        "(AVIConfig.double_q)")
     p.add_argument("--plateau_promote", type=int, default=0,
                    help="promote current->target after this many update "
                         "phases with a stalled loss above loss_thresh "
@@ -116,7 +122,8 @@ def main(argv=None):
         max_update_steps=args.max_update_steps,
         update_method=args.update_method.lower(), eps_max=args.eps_max,
         num_test=args.num_test, plateau_promote=args.plateau_promote,
-        scramble_pool=args.scramble_pool, label_group=args.label_group)
+        scramble_pool=args.scramble_pool, label_group=args.label_group,
+        double_q=args.double_q)
 
     nnet_config = dict(env.nnet_config)
     for k in ("h1_dim", "resnet_dim", "num_resnet_blocks"):

@@ -52,7 +52,11 @@ class AStarExploreResult(NamedTuple):
 @partial(jax.jit, static_argnames=("env", "model", "num_steps"))
 def astar_explore(env: Environment, model: ResnetValueNet, params,
                   batch_stats, states: jnp.ndarray, weights: jnp.ndarray,
-                  num_steps: int) -> AStarExploreResult:
+                  num_steps: int, sel_params=None,
+                  sel_stats=None) -> AStarExploreResult:
+    """With `sel_params` (double-Q labeling, see gbfs.bellman_backup): the
+    label's argmin child is selected by the current net and evaluated by
+    the target net; search guidance (child_f) stays on the target net."""
     i, w = states.shape
     a = env.num_actions
     c = 1 + num_steps * a
@@ -104,8 +108,16 @@ def astar_explore(env: Environment, model: ResnetValueNet, params,
         h = heuristic_values(env, model, params, batch_stats, flat,
                              clip_zero=True).reshape(i, a)
         child_costs = tc + h
-        # Bellman label of the popped node (astar.py:37-44)
-        label = jnp.min(child_costs, axis=1) * (1.0 - pop_solved.astype(jnp.float32))
+        # Bellman label of the popped node (astar.py:37-44); with double-Q,
+        # selection by the current net, evaluation by the target net
+        if sel_params is None:
+            backed = jnp.min(child_costs, axis=1)
+        else:
+            h_sel = heuristic_values(env, model, sel_params, sel_stats,
+                                     flat, clip_zero=True).reshape(i, a)
+            pick = jnp.argmin(tc + h_sel, axis=1)
+            backed = child_costs[rows, pick]
+        label = backed * (1.0 - pop_solved.astype(jnp.float32))
 
         solved_ch = env.is_solved(flat).reshape(i, a)
         child_g = (pop_g + 1).astype(jnp.float32)

@@ -88,6 +88,14 @@ class AVIConfig:
     # an MXU-starving matmul) to group*n_gen*A. 0 = auto (~1024 roots per
     # call), 1 = off.
     label_group: int = 0
+    # Double-Q labeling (training/gbfs.py bellman_backup docstring): select
+    # the backup's argmin child with the CURRENT net, evaluate it with the
+    # frozen target. Removes the min-over-A-children selection bias that
+    # freezes value iteration at a false fixed point below the true cost
+    # when prediction noise * E[min of A draws] cancels the +1 edge cost
+    # (the round-2 lightsout7 stall; A=49 there). Off = exact reference
+    # estimator (plain min, search_utils.py:16-32).
+    double_q: bool = False
     # GBFS explorer seen-set window (reference: unbounded per-trajectory
     # set, gbfs.py:114-118). The ring-size study (docs/RESULTS.md) shows
     # labels within ~5% across rings 2-64 and FASTER solves with small
@@ -199,8 +207,11 @@ def make_train_chunk(env: Environment, model: ResnetValueNet, cfg: AVIConfig,
                 solved = env.is_solved(xs)
                 y = 1.0 - solved.astype(jnp.float32)
             else:
+                sel = ((st.params, st.batch_stats) if cfg.double_q
+                       else (None, None))
                 y, _, _ = bellman_backup(env, model, target_params,
-                                         target_stats, xs, clip_zero=True)
+                                         target_stats, xs, clip_zero=True,
+                                         sel_params=sel[0], sel_stats=sel[1])
             return train_step(st, (xs, y, jnp.ones((n_gen,), jnp.float32)))
 
         state, losses = jax.lax.scan(tstep, state, states_g)
@@ -219,16 +230,20 @@ def make_train_chunk(env: Environment, model: ResnetValueNet, cfg: AVIConfig,
         nb = group * n_gen
         pool_st, states = sample_states(pool_st, k_gen, nb)
 
+        sel = ((state.params, state.batch_stats) if cfg.double_q
+               else (None, None))
         if cfg.update_method.lower() == "astar":
             # per-instance random weight (updater.py:37)
             w_rand = jax.random.uniform(k_run, (nb,))
             res = astar_explore(env, model, target_params, target_stats,
-                                states, w_rand, num_steps)
+                                states, w_rand, num_steps,
+                                sel_params=sel[0], sel_stats=sel[1])
         else:
             k_eps, k_gbfs = jax.random.split(k_run)
             eps = jax.random.uniform(k_eps, (nb,)) * cfg.eps_max
             res = gbfs_run(env, model, target_params, target_stats, states,
-                           eps, k_gbfs, num_steps, seen_ring=cfg.seen_ring)
+                           eps, k_gbfs, num_steps, seen_ring=cfg.seen_ring,
+                           sel_params=sel[0], sel_stats=sel[1])
 
         k_, w_ = num_steps, env.state_width
         n_lab = k_ * nb

@@ -46,11 +46,23 @@ class GBFSResult(NamedTuple):
 
 def bellman_backup(env: Environment, model: ResnetValueNet, params,
                    batch_stats, states: jnp.ndarray,
-                   clip_zero: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                   clip_zero: bool = False, sel_params=None,
+                   sel_stats=None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One-step Bellman backup over all children.
 
     Returns (ctg_backup (B,), child_costs (B, A), children (B, A, W)).
     Semantics of utils/search_utils.py:16-32: solved states back up to 0.
+
+    With `sel_params` (double-Q labeling, --double_q): the argmin child is
+    SELECTED by the current net and EVALUATED by the target net, decoupling
+    selection noise from evaluation. The plain min over A children of a
+    noisy value harvests ~E[min of A noise draws] below the mean every
+    backup; for lightsout7 (A=49, sigma~0.5) that is ~-1.1 — enough to
+    cancel the +1 edge cost and freeze value iteration at a false fixed
+    point ~2 below the true cost (measured: docs/LIGHTSOUT_DEBUG.md).
+    Double-Q (van Hasselt 2010; Double DQN 2015) removes the
+    selection-evaluation correlation; labels stay anchored to solved
+    states through the same Bellman chain.
     """
     b = states.shape[0]
     children, tc = env.expand(states)
@@ -59,7 +71,14 @@ def bellman_backup(env: Environment, model: ResnetValueNet, params,
                          clip_zero=clip_zero)
     child_costs = tc + h.reshape(b, env.num_actions)
     solved = env.is_solved(states)
-    ctg = jnp.min(child_costs, axis=1) * (1.0 - solved.astype(jnp.float32))
+    not_solved = 1.0 - solved.astype(jnp.float32)
+    if sel_params is None:
+        ctg = jnp.min(child_costs, axis=1) * not_solved
+    else:
+        h_sel = heuristic_values(env, model, sel_params, sel_stats, flat,
+                                 clip_zero=clip_zero)
+        pick = jnp.argmin(tc + h_sel.reshape(b, env.num_actions), axis=1)
+        ctg = child_costs[jnp.arange(b), pick] * not_solved
     return ctg, child_costs, children
 
 
@@ -68,7 +87,8 @@ def bellman_backup(env: Environment, model: ResnetValueNet, params,
 def gbfs_run(env: Environment, model: ResnetValueNet, params, batch_stats,
              states: jnp.ndarray, eps: jnp.ndarray, key: jax.Array,
              num_steps: int, record_trajs: bool = True,
-             seen_ring: int = SEEN_RING) -> GBFSResult:
+             seen_ring: int = SEEN_RING, sel_params=None,
+             sel_stats=None) -> GBFSResult:
     """Run `num_steps` of batched GBFS from `states` with per-instance
     epsilon-greedy exploration (updater.py:12: eps ~ U[0, eps_max)).
 
@@ -90,7 +110,8 @@ def gbfs_run(env: Environment, model: ResnetValueNet, params, batch_stats,
         newly_solved = solved_now & ~solved
 
         ctg, child_costs, children = bellman_backup(
-            env, model, params, batch_stats, s)
+            env, model, params, batch_stats, s,
+            sel_params=sel_params, sel_stats=sel_stats)
 
         greedy = jnp.argmin(child_costs, axis=1)
         k_eps, k_rand, k_seen = jax.random.split(k, 3)

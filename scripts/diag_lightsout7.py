@@ -1,128 +1,99 @@
-"""Diagnose the lightsout7 value-function saturation (round-2 defect).
+"""Localize the lightsout7 value-function stall (VERDICT round 2, item 1).
 
-LightsOut moves commute and are self-inverse, so the optimal solution is a
-subset of cells to press: A x = s over GF(2) with A the (49,49) plus-shape
-toggle matrix.  For 7x7, A is invertible, so the optimal cost is exactly
-popcount(A^{-1} s).  That gives a perfect oracle for the value function —
-something the reference never had (its lightsout7 baseline lists optimal
-as n/a).
+Three questions, answered with the GF(2) exact oracle
+(envs/lightsout_oracle.py):
 
-Compares, against this oracle:
-  * the reference's shipped net (saved_models/lightsout7/current/model_state_dict.pt)
-  * our trained net(s)
-on (a) fixed-depth scrambles and (b) the reference test set.
+  1. What does the REFERENCE's own shipped net
+     (/root/reference/saved_models/lightsout7/current/model_state_dict.pt)
+     predict on deep scrambles vs the oracle?  If it is also flat/biased,
+     our net has reached reference quality and the defect is in the solve
+     configuration, not training.
+  2. Does our net's prediction change materially between the bf16 forward
+     (production labeling dtype) and an f32 forward?  Quantifies the
+     bf16 min-over-49-children label bias hypothesis.
+  3. Per-depth (one-step Bellman label - oracle) decomposition for our
+     target net: where does the backup chain stop tracking the oracle?
 
-Run CPU-only: JAX_PLATFORMS=cpu python scripts/diag_lightsout7.py
+Runs on CPU (JAX_PLATFORMS=cpu) so in-flight TPU jobs are undisturbed.
 """
-from __future__ import annotations
 
 import os
-import sys
 
-import numpy as np
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from deepcubea_tpu.cli._common import load_model_variables
 from deepcubea_tpu.envs.registry import get_environment
-from deepcubea_tpu.models.resnet import ResnetValueNet
-from deepcubea_tpu.training.heuristic import heuristic_values
+from deepcubea_tpu.models.resnet import build_model, forward_eval
+from deepcubea_tpu.training.gbfs import bellman_backup
 
-REF = "/root/reference"
+env = get_environment("lightsout7")
+DEPTHS = [5, 10, 15, 20, 25, 30, 40, 50]
+N = 512
 
+nets = {}
+for name, path in [
+    ("reference", "/root/reference/saved_models/lightsout7/current"),
+    ("r3_target", "saved_models/lightsout7_r3/target"),
+    ("r3_current", "saved_models/lightsout7_r3/current"),
+]:
+    try:
+        params, stats, cfg = load_model_variables(path, env)
+        nets[name] = (params, stats, cfg)
+        print(f"loaded {name} from {path}")
+    except (Exception, SystemExit) as e:  # noqa: BLE001
+        print(f"SKIP {name}: {e}")
 
-from deepcubea_tpu.envs.lightsout_oracle import LightsOutOracle
-
-
-def optimal_costs(states, oracle):
-    return oracle.optimal_costs(states)
-
-
-def main():
-    env = get_environment("lightsout7")
-    oracle = LightsOutOracle(7)
-    assert oracle.rank == 49
-
-    # sanity: oracle vs BFS on shallow scrambles
-    rng = np.random.default_rng(0)
-
-    # fixed-depth scrambles via the env itself
-    key = jax.random.PRNGKey(0)
-    nets = {}
-
-    from deepcubea_tpu.cli._common import load_model_variables
-    for name, path in [
-        ("reference", f"{REF}/saved_models/lightsout7/current"),
-        ("ours_r2", "saved_models/lightsout7_r2/current"),
-    ]:
-        try:
-            params, stats, cfg = load_model_variables(path, env)
-        except (SystemExit, FileNotFoundError) as e:
-            print(f"skip {name}: {e}")
-            continue
-        model = ResnetValueNet(**cfg)
-        nets[name] = (model, params, stats)
-
-    print("=== fixed-depth scrambles (512 states/depth) ===")
-    print(f"{'depth':>5} {'opt_mean':>8} " +
-          " ".join(f"{n + '_mean':>14} {n + '_mad':>10}" for n in nets))
-    for depth in [0, 1, 2, 5, 8, 10, 12, 15, 18, 20, 25, 30, 40, 50]:
-        key, k1 = jax.random.split(key)
-        states, _ = env.generate_scrambles(
-            k1, 512, max(depth, 1), depths=jnp.full((512,), depth, jnp.int32))
-        s_np = np.asarray(states)
-        opt = optimal_costs(s_np, oracle)
-        row = f"{depth:>5} {opt.mean():>8.2f} "
-        for n, (model, params, stats) in nets.items():
-            h = np.asarray(heuristic_values(env, model, params, stats,
-                                            jnp.asarray(s_np), clip_zero=True))
-            row += f"{h.mean():>14.2f} {np.abs(h - opt).mean():>10.2f} "
-        print(row)
-
-    # reference test set
-    from deepcubea_tpu.utils.compat import load_test_set
-    test = load_test_set(f"{REF}/data/lightsout7/test/data_0.pkl", env)
-    s_np = np.asarray(test["states"])[:500]
-    opt = optimal_costs(s_np, oracle)
-    print(f"\n=== reference test set (n={len(s_np)}) ===")
-    print(f"optimal: mean {opt.mean():.2f} min {opt.min()} max {opt.max()}")
-    print("(reference solved avg 24.26 — optimality rate was unknown upstream)")
-    for n, (model, params, stats) in nets.items():
-        h = np.asarray(heuristic_values(env, model, params, stats,
-                                        jnp.asarray(s_np), clip_zero=True))
-        print(f"{n}: pred mean {h.mean():.2f}  MAD vs optimal "
-              f"{np.abs(h - opt).mean():.2f}  corr "
-              f"{np.corrcoef(h, opt)[0, 1]:.3f}")
-
-    # === Bellman fixed-point probe ===
-    # In the stalled flat region the AVI label is 1 + min_a h_targ(child).
-    # If mean(label - h(parent)) ~ 0, growth has equilibrated against the
-    # min-over-49-children noise bias (E[min of A noisy siblings] ~ mu - c*sigma).
-    print("\n=== Bellman growth probe (label - h(parent)) on depth-50 scrambles ===")
-    key, k1 = jax.random.split(key)
+probes = {}
+for d in DEPTHS:
     states, _ = env.generate_scrambles(
-        k1, 256, 50, depths=jnp.full((256,), 50, jnp.int32))
-    children, tc = env.expand(states)           # (B, A, W)
-    b, a_n, w_dim = children.shape
-    flat = children.reshape(b * a_n, w_dim)
-    for n, (model, params, stats) in nets.items():
-        for dt, dtname in [(jnp.bfloat16, "bf16"), (jnp.float32, "f32")]:
-            m = ResnetValueNet(dtype=dt, **{k: v for k, v in
-                               env.nnet_config.items()})
-            hp = np.asarray(heuristic_values(env, m, params, stats,
-                                             states, clip_zero=True))
-            hc = np.asarray(heuristic_values(env, m, params, stats,
-                                             jnp.asarray(flat),
-                                             clip_zero=True)).reshape(b, a_n)
-            label = 1.0 + hc.min(axis=1)
-            mean_label = 1.0 + hc.mean(axis=1)
-            print(f"{n}/{dtname}: h(parent) {hp.mean():.3f}  "
-                  f"label(min) {label.mean():.3f}  growth {np.mean(label - hp):+.3f}  "
-                  f"label(mean-backup) {mean_label.mean():.3f}  "
-                  f"sibling spread std {hc.std(axis=1).mean():.3f}")
+        jax.random.PRNGKey(1000 + d), N, d,
+        depths=jnp.full((N,), d, jnp.int32))
+    states = np.asarray(states)
+    opt = np.asarray(env.optimal_costs(states)).astype(np.float64)
+    probes[d] = (states, opt)
 
+print("\n=== prediction vs oracle, per depth (bf16 and f32 forward) ===")
+hdr = f"{'net':>10} {'dtype':>5} " + " ".join(f"d={d:<2}" + " " * 10 for d in DEPTHS)
+print(f"{'':>17} per-depth: mean_pred/mean_opt corr")
+for name, (params, stats, cfg) in nets.items():
+    for dtype, tag in [(jnp.bfloat16, "bf16"), (jnp.float32, "f32")]:
+        model = build_model(cfg, dtype=dtype)
+        fwd = jax.jit(lambda s, p=params, st=stats, m=model: jnp.maximum(
+            forward_eval(m, p, st, env.encode(s)), 0.0))
+        cells = []
+        for d in DEPTHS:
+            states, opt = probes[d]
+            h = np.asarray(fwd(jnp.asarray(states))).astype(np.float64)
+            corr = np.corrcoef(h, opt)[0, 1] if opt.std() > 0 else 0.0
+            cells.append(f"d{d}: {h.mean():5.2f}/{opt.mean():5.2f} c={corr:.2f}")
+        print(f"{name:>10} {tag:>5} " + " | ".join(cells))
 
-if __name__ == "__main__":
-    main()
+print("\n=== one-step Bellman label bias (bf16 target fwd vs f32), r3_target ===")
+if "r3_target" in nets:
+    params, stats, cfg = nets["r3_target"]
+    for dtype, tag in [(jnp.bfloat16, "bf16"), (jnp.float32, "f32")]:
+        model = build_model(cfg, dtype=dtype)
+        bb = jax.jit(lambda s, p=params, st=stats, m=model: bellman_backup(
+            env, m, p, st, s, clip_zero=True)[0])
+        cells = []
+        for d in DEPTHS:
+            states, opt = probes[d]
+            y = np.asarray(bb(jnp.asarray(states))).astype(np.float64)
+            cells.append(f"d{d}: label {y.mean():5.2f} (opt {opt.mean():5.2f})")
+        print(f"{tag:>5} " + " | ".join(cells))
+
+    # direct per-state delta between the two label dtypes
+    model16 = build_model(cfg, dtype=jnp.bfloat16)
+    model32 = build_model(cfg, dtype=jnp.float32)
+    states, opt = probes[50]
+    y16 = np.asarray(jax.jit(lambda s: bellman_backup(
+        env, model16, params, stats, s, clip_zero=True)[0])(jnp.asarray(states)))
+    y32 = np.asarray(jax.jit(lambda s: bellman_backup(
+        env, model32, params, stats, s, clip_zero=True)[0])(jnp.asarray(states)))
+    delta = (y16 - y32).astype(np.float64)
+    print(f"\nlabel(bf16) - label(f32) at depth 50: mean {delta.mean():+.4f}, "
+          f"std {delta.std():.4f}, min {delta.min():+.4f}, max {delta.max():+.4f}")

@@ -23,13 +23,18 @@ until timeout 180 python -c "import jax; print(jax.devices())" >/dev/null 2>&1; 
 done
 log "TPU reachable; relaunching"
 
+# bench.py pauses background jobs via logs/tpu_jobs.pids; make this file
+# authoritative: truncate here, append every launched pid below (ADVICE r2)
+PIDFILE=logs/tpu_jobs.pids
+: > "$PIDFILE"
+
 # 1. lightsout7 retrain from scratch with the closed-set A* explorer
 #    (reference train.sh:68 hyperparameters; round-2 defect fix validation)
 nohup python -m deepcubea_tpu.cli.train --env lightsout7 --nnet_name lightsout7_r3 \
   --batch_size 1000 --states_per_update 500000 --loss_thresh 1.0 --back_max 50 \
   --max_update_steps 200 --update_method astar --scramble_pool -1 --num_test 1000 \
   --max_itrs 1000000 --save_dir runs >> runs/lo7_train_r4.log 2>&1 &
-log "lightsout7_r3 train pid $!"
+echo $! >> "$PIDFILE"; log "lightsout7_r3 train pid $!"
 sleep 60
 
 # 2. puzzle48 training start (reference train.sh:57; 2M itrs — longest pole)
@@ -37,7 +42,7 @@ nohup python -m deepcubea_tpu.cli.train --env puzzle48 --nnet_name puzzle48 \
   --states_per_update 50000000 --batch_size 10000 --max_itrs 2000000 \
   --loss_thresh 1.0 --back_max 1000 --max_update_steps 200 --plateau_promote 3 \
   --scramble_pool -1 --num_test 1000 --save_dir runs >> runs/puzzle48_train.log 2>&1 &
-log "puzzle48 train pid $!"
+echo $! >> "$PIDFILE"; log "puzzle48 train pid $!"
 sleep 60
 
 # 3. cube3 w=0.7 full-1000 campaign (resume from 174/1000)
@@ -46,7 +51,7 @@ nohup python -m deepcubea_tpu.cli.solve --states /root/reference/data/cube3/test
   --instances 2 --pool_capacity 16777216 --table_capacity 33554432 --max_probes 6 \
   --approx_pop --stream --sort_by_h --max_iters 3000 \
   --results_dir results/cube3_w07 --resume >> /tmp/cube3_solve7.log 2>&1 &
-log "cube3_w07 solve pid $!"
+echo $! >> "$PIDFILE"; log "cube3_w07 solve pid $!"
 sleep 60
 
 # 4. puzzle24 campaign (resume from 200/496)
@@ -55,7 +60,7 @@ nohup python -m deepcubea_tpu.cli.solve --states /root/reference/data/puzzle24/t
   --instances 2 --pool_capacity 8388608 --table_capacity 16777216 --max_probes 6 \
   --approx_pop --stream --sort_by_h --max_iters 1500 \
   --results_dir results/puzzle24 --resume >> /tmp/p24_solve.log 2>&1 &
-log "puzzle24 solve pid $!"
+echo $! >> "$PIDFILE"; log "puzzle24 solve pid $!"
 sleep 60
 
 # 5. cube3 w=0.6 full-1000 campaign (resume from 525/1000)
@@ -64,7 +69,7 @@ nohup python -m deepcubea_tpu.cli.solve --states /root/reference/data/cube3/test
   --instances 2 --pool_capacity 16777216 --table_capacity 33554432 --max_probes 6 \
   --approx_pop --stream --sort_by_h --max_iters 3000 \
   --results_dir results/cube3_r2 --resume >> /tmp/cube3_solve_r2.log 2>&1 &
-log "cube3_r2 solve pid $!"
+echo $! >> "$PIDFILE"; log "cube3_r2 solve pid $!"
 sleep 60
 
 # 6. puzzle35 trainer resume (570k/1M itrs checkpointed)
@@ -72,7 +77,7 @@ nohup python -m deepcubea_tpu.cli.train --env puzzle35 --states_per_update 50000
   --batch_size 10000 --nnet_name puzzle35 --max_itrs 1000000 --loss_thresh 1.0 \
   --back_max 1000 --max_update_steps 200 --plateau_promote 3 --scramble_pool -1 \
   --num_test 10000 --save_dir runs >> runs/puzzle35_train.log 2>&1 &
-log "puzzle35 train pid $!"
+echo $! >> "$PIDFILE"; log "puzzle35 train pid $!"
 
 sleep 60
 
@@ -85,6 +90,6 @@ nohup python -m deepcubea_tpu.cli.solve --states /root/reference/data/sokoban/te
   --instances 1 --stream --max_iters 32768 --pool_capacity 8388608 \
   --table_capacity 16777216 --max_probes 6 --approx_pop \
   --results_dir results/sokoban --resume >> /tmp/sokoban_retry.log 2>&1 &
-log "sokoban retry pid $!"
+echo $! >> "$PIDFILE"; log "sokoban retry pid $!"
 
 log "all relaunched"

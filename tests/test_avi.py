@@ -121,3 +121,52 @@ def test_gbfs_traj_labels():
         i = int(np.argmax(solved0))
         assert np.asarray(res.traj_ctg)[0, i] == 0.0
         assert not np.asarray(res.traj_valid)[1:, i].any()
+
+
+def test_double_q_label_selection_vs_evaluation():
+    """Double-Q: the label equals the TARGET value of the child the
+    SELECTOR net picks — between plain-min (selector == target) and the
+    plain backup with an independent selector, labels can only grow
+    (min is the infimum over selections)."""
+    env = LightsOut(4)
+    model = tiny_model(env)
+    params_t, stats_t = init_variables(model, jax.random.PRNGKey(1),
+                                       env.encode(env.goal_states(2)))
+    params_s, stats_s = init_variables(model, jax.random.PRNGKey(2),
+                                       env.encode(env.goal_states(2)))
+    states, _ = env.generate_scrambles(jax.random.PRNGKey(3), 32, 8)
+
+    y_min, child_costs, _ = bellman_backup(env, model, params_t, stats_t,
+                                           states, clip_zero=True)
+    y_dq, _, _ = bellman_backup(env, model, params_t, stats_t, states,
+                                clip_zero=True, sel_params=params_s,
+                                sel_stats=stats_s)
+    y_min, y_dq = np.asarray(y_min), np.asarray(y_dq)
+    cc = np.asarray(child_costs)
+    solved = np.asarray(env.is_solved(states))
+    # every double-Q label is one of the target-evaluated child costs
+    for i in range(32):
+        if solved[i]:
+            assert y_dq[i] == 0.0
+        else:
+            assert np.any(np.isclose(cc[i], y_dq[i], atol=1e-5))
+    # and lower-bounded by the plain min backup
+    assert np.all(y_dq >= y_min - 1e-5)
+    # selector == target reproduces the plain min exactly
+    y_same, _, _ = bellman_backup(env, model, params_t, stats_t, states,
+                                  clip_zero=True, sel_params=params_t,
+                                  sel_stats=stats_t)
+    np.testing.assert_allclose(np.asarray(y_same), y_min, atol=1e-5)
+
+
+def test_double_q_trainer_runs():
+    env = LightsOut(3)
+    cfg = AVIConfig(back_max=4, batch_size=128, states_per_update=512,
+                    loss_thresh=10.0, num_test=30, log_every=4,
+                    max_update_steps=4, update_method="astar", double_q=True)
+    t = AVITrainer(env, cfg, seed=0, model=tiny_model(env),
+                   log=lambda *a: None)
+    t.run_update()          # all_zeros phase
+    t.maybe_swap_target()
+    loss = t.run_update()   # double-Q explorer phase
+    assert np.isfinite(loss)
