@@ -123,6 +123,8 @@ def main(argv=None):
     from ..utils import is_valid_solution
     from ..utils.logger import install_logger
 
+    from ..utils.quiesce import install_quiesce_handler
+    install_quiesce_handler()
     args = parse_args(argv)
     os.makedirs(args.results_dir, exist_ok=True)
     if not args.debug:

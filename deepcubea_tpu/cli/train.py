@@ -96,6 +96,8 @@ def main(argv=None):
                                     save_checkpoint)
     from ..utils.logger import install_logger
 
+    from ..utils.quiesce import install_quiesce_handler
+    install_quiesce_handler()
     args = parse_args(argv)
     model_dir = os.path.join(args.save_dir, args.nnet_name)
     curr_dir = os.path.join(model_dir, "current")

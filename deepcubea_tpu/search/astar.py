@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.quiesce import check_quiesce
 from ..envs.base import Environment, fingerprint, fingerprint_constants
 from ..models.resnet import ResnetValueNet
 from ..training.heuristic import heuristic_values
@@ -541,6 +542,9 @@ class BatchWeightedAStar:
                 state = self._step(state, self.params, self.batch_stats)
             total_iters += check_every
             done = np.asarray(state.done)
+            # blocking read above = no device work in flight: safe point
+            # for the cooperative bench pause (utils/quiesce.py)
+            check_quiesce()
             fi = np.asarray(state.finish_iters)
             active = slot_root >= 0
             finish = active & (done | (fi >= max_iters_per))

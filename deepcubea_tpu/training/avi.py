@@ -45,6 +45,7 @@ import numpy as np
 import optax
 
 from ..envs.base import Environment
+from ..utils.quiesce import check_quiesce
 from ..models.resnet import (ResnetValueNet, build_model, forward_train,
                              init_variables)
 from .astar_explore import astar_explore
@@ -428,6 +429,9 @@ class AVITrainer:
                 self.state, self.pool_state, *target, k)
             done += chunk_len
             last_loss = float(losses[-1])
+            # blocking read above = no device work in flight: safe point
+            # for the cooperative bench pause (utils/quiesce.py)
+            check_quiesce()
             dt = time.time() - t0
             states_s = done * cfg.batch_size / max(dt, 1e-9)
             self.log(f"Itr: {self.itr}, loss: {float(losses.mean()):.5f} "

@@ -1,12 +1,19 @@
 """Pause this repo's own background TPU jobs for a clean measurement.
 
 Training/solve campaigns run continuously on the single chip; benchmarks
-measure hardware capability, not time-slice share, so our own jobs (exact
-PIDs recorded at launch in logs/tpu_jobs.pids) are SIGSTOPped and always
-resumed — on normal exit, crash, and SIGTERM/SIGHUP (e.g. `timeout`),
-via finally + atexit + signal handlers that raise SystemExit.
+measure hardware capability, not time-slice share. Jobs are paused via
+the cooperative quiesce protocol (utils/quiesce.py): each job gets
+SIGUSR1, finishes its in-flight device program, and SIGSTOPs itself at a
+safe point — never mid-stream, which wedges the axon tunnel for every
+client (observed round 3). Jobs that do not reach state T within
+`quiesce_deadline_s` (e.g. one long fused chunk) are SIGSTOPped directly
+as a fallback. Everything is always resumed — on normal exit, crash, and
+SIGTERM/SIGHUP (e.g. `timeout`), via finally + atexit + signal handlers;
+a watchdog thread additionally force-resumes and aborts the process if
+the measurement itself exceeds `watchdog_s` (a wedged device call blocks
+the main thread in native code where Python signal handlers cannot run).
 
-A PID is paused only if it still exists, its cwd is this repo root
+A PID is touched only if it still exists, its cwd is this repo root
 (derived from this file, not hardcoded), and its cmdline is a python
 process running this package (deepcubea_tpu) — a stale pid reused by an
 unrelated process is skipped.
@@ -16,6 +23,7 @@ import contextlib
 import os
 import signal
 import sys
+import threading
 import time
 
 REPO_ROOT = os.path.dirname(os.path.dirname(
@@ -38,53 +46,92 @@ def _is_our_job(pid: int) -> bool:
         return False
 
 
+def _state(pid: int) -> str:
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            return f.read().split(") ", 1)[1].split(" ", 1)[0]
+    except OSError:
+        return "X"
+
+
+def _resume(pids):
+    for p in pids:
+        try:
+            os.kill(p, signal.SIGCONT)
+        except OSError:
+            pass
+
+
 @contextlib.contextmanager
-def pause_background_jobs(settle_s: float = 5.0):
+def pause_background_jobs(quiesce_deadline_s: float = 300.0,
+                          watchdog_s: float = 1200.0):
     try:
         with open(PIDFILE) as f:
             cands = [int(x) for x in f.read().split()]
     except (OSError, ValueError):
         cands = []
     me = os.getpid()
-    pids = []
-    for p in dict.fromkeys(cands):  # dedup, keep order
-        if p == me or not _is_our_job(p):
-            continue
-        try:
-            os.kill(p, signal.SIGSTOP)
-            pids.append(p)
-        except OSError:
-            continue
+    jobs = [p for p in dict.fromkeys(cands) if p != me and _is_our_job(p)]
 
+    paused = []
     prev_handlers = {}
-    if pids:
-        _log(f"paused background jobs for measurement: {pids}")
+    watchdog_stop = threading.Event()
+    if jobs:
+        # ask jobs to quiesce at their next safe point
+        for p in jobs:
+            try:
+                os.kill(p, signal.SIGUSR1)
+            except OSError:
+                continue
+        t0 = time.time()
+        pending = set(jobs)
+        while pending and time.time() - t0 < quiesce_deadline_s:
+            for p in list(pending):
+                st = _state(p)
+                if st == "T":
+                    paused.append(p)
+                    pending.discard(p)
+                elif st == "X" or not os.path.exists(f"/proc/{p}"):
+                    pending.discard(p)
+            if pending:
+                time.sleep(2.0)
+        for p in sorted(pending):  # fallback: direct stop (pre-quiesce jobs)
+            try:
+                os.kill(p, signal.SIGSTOP)
+                paused.append(p)
+                _log(f"pid {p} did not quiesce in {quiesce_deadline_s:.0f}s; "
+                     f"SIGSTOPped directly")
+            except OSError:
+                pass
+        _log(f"paused background jobs for measurement: {sorted(paused)}")
+
         import atexit
+        atexit.register(_resume, paused)
 
-        def resume():
-            for p in pids:
-                try:
-                    os.kill(p, signal.SIGCONT)
-                except OSError:
-                    pass
-        atexit.register(resume)
-
-        # default SIGTERM/SIGHUP would skip finally/atexit (ADVICE r2);
-        # convert to SystemExit so the resume path runs
+        # default SIGTERM/SIGHUP would skip finally/atexit; convert to
+        # SystemExit so the resume path runs (only reachable while the
+        # main thread is in Python code)
         def _die(signum, frame):
             raise SystemExit(128 + signum)
         for sig in (signal.SIGTERM, signal.SIGHUP):
             prev_handlers[sig] = signal.signal(sig, _die)
-        time.sleep(settle_s)  # let already-enqueued device programs drain
+
+        # last resort for a main thread wedged in a native device call:
+        # resume everything and hard-exit
+        def _watchdog():
+            if not watchdog_stop.wait(watchdog_s):
+                _log(f"bench watchdog fired after {watchdog_s:.0f}s: "
+                     f"resuming jobs and aborting")
+                _resume(paused)
+                os._exit(3)
+        threading.Thread(target=_watchdog, daemon=True).start()
+        time.sleep(2.0)  # let the tunnel settle
     try:
         yield
     finally:
-        for p in pids:
-            try:
-                os.kill(p, signal.SIGCONT)
-            except OSError:
-                pass
+        watchdog_stop.set()
+        _resume(paused)
         for sig, h in prev_handlers.items():
             signal.signal(sig, h)
-        if pids:
+        if paused:
             _log("resumed background jobs")
