@@ -295,6 +295,47 @@ def make_sharded_astar_step(env: Environment, model: ResnetValueNet,
     return jax.jit(fn, donate_argnums=(0,))
 
 
+def make_sharded_path_extractor(cfg: ShardedAStarConfig, mesh: Mesh):
+    """Walk parent pointers ON DEVICE over the sharded pool.
+
+    The pool stays sharded: each scan step reads parent/action at a global
+    node id by owner-computes + psum (exactly one shard owns any id), so
+    result extraction moves only a (max_path_len,) action vector to host —
+    the full (C,) pool is never materialized (the round-2 version's
+    np.asarray(state.parent) would stall at the 2e7-node scale this module
+    targets). Mirrors the lockstep engine's device walk
+    (astar.make_path_extractor; reference get_path astar.py:213-229)."""
+    k = mesh.shape[AXIS]
+    cl = cfg.pool_capacity // k
+
+    def local_extract(parent, action, goal_id):
+        me = jax.lax.axis_index(AXIS)
+
+        def read(arr, gid):
+            loc = gid - me * cl
+            own = (loc >= 0) & (loc < cl)
+            v = jnp.where(own, arr[jnp.clip(loc, 0, cl - 1)], 0)
+            return jax.lax.psum(v, AXIS)
+
+        def body(nid, _):
+            ok = nid >= 0
+            act = jnp.where(ok, read(action, nid), -1)
+            nxt = jnp.where(ok, read(parent, nid), -1)
+            return nxt, act
+
+        _, acts = jax.lax.scan(body, goal_id[0], None,
+                               length=cfg.max_path_len)
+        return acts  # goal-to-root order, -1 padded; replicated
+
+    kwargs = dict(mesh=mesh, in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+                  out_specs=P())
+    try:
+        fn = shard_map(local_extract, check_vma=False, **kwargs)
+    except TypeError:
+        fn = shard_map(local_extract, check_rep=False, **kwargs)
+    return jax.jit(fn)
+
+
 class ShardedAStar:
     """Host driver for one frontier-sharded instance."""
 
@@ -307,6 +348,7 @@ class ShardedAStar:
         self.params = jax.device_put(params, repl)
         self.batch_stats = jax.device_put(batch_stats, repl)
         self._step = make_sharded_astar_step(env, model, cfg, mesh)
+        self._extract = make_sharded_path_extractor(cfg, mesh)
 
     def solve_one(self, root: jnp.ndarray, max_iters: int = 100_000,
                   verbose: bool = False, log=print) -> SolveResult:
@@ -326,14 +368,9 @@ class ShardedAStar:
         goal_id = int(np.asarray(state.goal_id)[0])
         solution: Optional[List[int]] = None
         if goal_id >= 0:
-            parent = np.asarray(state.parent)
-            action = np.asarray(state.action)
-            seq: List[int] = []
-            nid = goal_id
-            while nid >= 0 and action[nid] >= 0 and len(seq) < cfg_max(self.cfg):
-                seq.append(int(action[nid]))
-                nid = int(parent[nid])
-            solution = seq[::-1]
+            acts = np.asarray(self._extract(state.parent, state.action,
+                                            state.goal_id))
+            solution = [int(x) for x in acts if x >= 0][::-1]
 
         return SolveResult(
             solutions=[solution],
