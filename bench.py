@@ -21,10 +21,20 @@ model dominates the step FLOPs; expansion/dedup are integer gathers), so
 model FLOP/s = nodes/s * 29.25e6, reported against the chip's bf16 peak.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+`--domain <env>` instead runs a clean-timing slice of that domain's
+production solve campaign (same flags as docs/RUNBOOK.md) on an idle chip
+(background jobs paused), reporting s/state, nodes/state and nodes/s
+against the reference's per-domain numbers (BASELINE.md table) — this
+replaces the time-sliced campaign wall-clocks that VERDICT r2 flagged as
+incomparable.
 """
 
+import argparse
 import json
+import os
 import sys
+import tempfile
 import time
 
 import jax
@@ -36,6 +46,102 @@ from deepcubea_tpu.utils.bench_pause import pause_background_jobs
 BASELINE_NODES_PER_S = 108_000.0
 # TPU v5e ("v5 lite") peak: 197 TFLOP/s bf16 (394 TOP/s int8)
 PEAK_BF16_FLOPS = 197e12
+
+REF = "/root/reference"
+
+# Production solve configurations (docs/RUNBOOK.md "Round-2 production solve
+# campaign") + reference per-state baselines (BASELINE.md A* table).
+DOMAINS = {
+    "cube3": dict(
+        model="saved_models/cube3_r2/current", weight=0.7, batch_size=10000,
+        instances=2, pool=1 << 24, table=1 << 25, max_iters=3000,
+        base_secs=75.61, base_nodes=8_185_993),
+    "puzzle15": dict(
+        model="saved_models/puzzle15/current", weight=0.8, batch_size=20000,
+        instances=2, pool=1 << 23, table=1 << 24, max_iters=1200,
+        base_secs=8.82, base_nodes=3_277_626),
+    "puzzle24": dict(
+        model="saved_models/puzzle24/current", weight=0.8, batch_size=20000,
+        instances=2, pool=1 << 24, table=1 << 25, max_iters=2000,
+        base_secs=22.94, base_nodes=6_380_875),
+    "puzzle35": dict(
+        model="saved_models/puzzle35/current", weight=0.8, batch_size=20000,
+        instances=2, pool=1 << 24, table=1 << 25, max_iters=3000,
+        base_secs=45.39, base_nodes=9_256_350),
+    "puzzle48": dict(
+        model="saved_models/puzzle48/current", weight=0.6, batch_size=20000,
+        instances=2, pool=1 << 24, table=1 << 25, max_iters=4000,
+        base_secs=144.08, base_nodes=19_766_226),
+    "lightsout7": dict(
+        model="saved_models/lightsout7_r3/current", weight=0.2,
+        batch_size=1000, instances=8, pool=1 << 21, table=1 << 22,
+        max_iters=4000, base_secs=5.90, base_nodes=1_142_240),
+    "sokoban": dict(
+        model="saved_models/sokoban/current", weight=0.8, batch_size=64,
+        instances=16, pool=1 << 16, table=1 << 17, max_iters=2000,
+        base_secs=2.71, base_nodes=5_014),
+}
+
+
+def bench_domain(domain: str, num_states: int, start_idx: int):
+    """Solve a num_states slice of the domain's reference test set with the
+    production campaign configuration, solo on the chip, and report clean
+    per-state wall-clock + node throughput."""
+    import pickle
+
+    from deepcubea_tpu.cli import solve as solve_cli
+
+    d = DOMAINS[domain]
+    states_path = f"{REF}/data/{domain}/test/data_0.pkl"
+    out_dir = tempfile.mkdtemp(prefix=f"bench_{domain}_")
+    argv = [
+        "--states", states_path, "--model", d["model"], "--env", domain,
+        "--weight", str(d["weight"]), "--batch_size", str(d["batch_size"]),
+        "--instances", str(min(d["instances"], num_states)),
+        "--pool_capacity", str(d["pool"]), "--table_capacity", str(d["table"]),
+        "--max_probes", "6", "--approx_pop", "--stream", "--sort_by_h",
+        "--max_iters", str(d["max_iters"]), "--results_dir", out_dir,
+        "--start_idx", str(start_idx),
+        "--end_idx", str(start_idx + num_states),
+    ]
+    if domain == "sokoban":  # no sort_by_h: tiny batches, ragged instances
+        argv = [a for a in argv if a != "--sort_by_h"]
+    log(f"bench --domain {domain}: cli.solve {' '.join(argv)}")
+    t0 = time.time()
+    solve_cli.main(argv)
+    wall = time.time() - t0
+
+    with open(os.path.join(out_dir, "results.pkl"), "rb") as f:
+        r = pickle.load(f)
+    solved = [s for s in r["solutions"] if s is not None]
+    n = len(r["solutions"])
+    nodes = int(np.sum(r["num_nodes_generated"]))
+    lens = [len(s) for s in solved]
+    # the first `instances` states are assigned at t0, so their wall times
+    # absorb the one-off XLA compile (solve_stream t_assign semantics);
+    # exclude them from the headline per-state time, report median too.
+    warm = min(d["instances"], n)
+    times = np.asarray(r["times"], np.float64)
+    steady_t = times[warm:] if n > warm else times
+    steady_nodes = np.asarray(r["num_nodes_generated"][warm:]
+                              if n > warm else r["num_nodes_generated"])
+    per_state = float(np.mean(steady_t))
+    print(json.dumps({
+        "metric": f"{domain} clean-timing solve slice "
+                  f"(production config, idle chip)",
+        "value": round(per_state, 3),
+        "unit": "s/state",
+        "vs_baseline": round(d["base_secs"] / per_state, 3),
+        "states": n, "solved": len(solved),
+        "avg_len": round(float(np.mean(lens)), 2) if lens else None,
+        "median_s_per_state": round(float(np.median(times)), 3),
+        "nodes_per_state": round(nodes / max(n, 1)),
+        "nodes_per_state_vs_ref": round(d["base_nodes"] / (nodes / max(n, 1)), 2),
+        "steady_nodes_per_s": round(float(np.sum(steady_nodes) /
+                                          np.sum(steady_t))) if len(steady_t) else None,
+        "campaign_wall_s": round(wall, 1),
+        "start_idx": start_idx, "warm_states_excluded": warm,
+    }))
 
 
 def log(*a):
@@ -79,8 +185,18 @@ def measure(env, model, params, stats, cfg, iters=20):
 
 
 def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--domain", type=str, default=None, choices=sorted(DOMAINS),
+                   help="run a clean-timing solve slice for this domain "
+                        "instead of the headline kernel benchmark")
+    p.add_argument("--num_states", type=int, default=20)
+    p.add_argument("--start_idx", type=int, default=0)
+    args = p.parse_args()
     with pause_background_jobs():
-        _main()
+        if args.domain:
+            bench_domain(args.domain, args.num_states, args.start_idx)
+        else:
+            _main()
 
 
 def _main():

@@ -1,0 +1,97 @@
+"""Localize the gap between kernel-bench throughput (cube3 B=10k: ~1.35M
+nodes/s) and production solve throughput (puzzle15 slice: ~45k nodes/s
+marginal, bench.py --domain).
+
+Measures jitted A* step time across a config sweep, solo on the chip
+(pause_background_jobs), separating:
+  - env/net (cube3 vs puzzle15)
+  - instances (1 vs 2)
+  - pool/table capacity (bench 4M/8M vs production 8M/16M)
+  - dispatch pattern (free-running async vs blocking sync every 8 steps,
+    the solve_stream cadence)
+
+Usage: python scripts/profile_solve_step.py [--iters 16]
+"""
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+from deepcubea_tpu.utils.bench_pause import pause_background_jobs  # noqa: E402
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure(env_name, batch, instances, pool, table, iters, sync_every=None):
+    from deepcubea_tpu.envs import get_environment
+    from deepcubea_tpu.models import build_model, init_variables
+    from deepcubea_tpu.search import AStarConfig, astar_init, make_astar_step
+
+    env = get_environment(env_name)
+    model = build_model(env.nnet_config)
+    params, stats = init_variables(model, jax.random.PRNGKey(0),
+                                   env.encode(env.goal_states(2)))
+    cfg = AStarConfig(weight=0.8, batch_size=batch, pool_capacity=pool,
+                      table_capacity=table, approx_pop=True, max_probes=6)
+    roots, _ = env.generate_scrambles(
+        jax.random.PRNGKey(1), instances, 1000,
+        depths=jnp.full((instances,), 1000, jnp.int32))
+    state = astar_init(env, cfg, roots)
+    step = make_astar_step(env, model, cfg)
+
+    t0 = time.time()
+    state = step(state, params, stats)
+    jax.block_until_ready(state.f)
+    compile_s = time.time() - t0
+    for _ in range(2):
+        state = step(state, params, stats)
+    jax.block_until_ready(state.f)
+
+    t0 = time.time()
+    if sync_every:
+        k = 0
+        for _ in range(iters):
+            state = step(state, params, stats)
+            k += 1
+            if k % sync_every == 0:
+                _ = np.asarray(state.done)  # solve_stream cadence
+    else:
+        for _ in range(iters):
+            state = step(state, params, stats)
+    jax.block_until_ready(state.f)
+    dt = (time.time() - t0) / iters
+    nodes_s = batch * env.num_actions * instances / dt
+    tag = (f"{env_name} B={batch} I={instances} pool=2^{pool.bit_length()-1} "
+           f"tbl=2^{table.bit_length()-1} "
+           f"sync={'every'+str(sync_every) if sync_every else 'free'}")
+    print(f"{tag}: {dt*1000:8.1f} ms/step  {nodes_s:12,.0f} nodes/s  "
+          f"(compile {compile_s:.0f}s)", flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=16)
+    args = p.parse_args()
+    log(f"devices: {jax.devices()}")
+    with pause_background_jobs():
+        M = 1 << 20
+        # kernel-bench reference point
+        measure("cube3", 10_000, 1, 4 * M, 8 * M, args.iters)
+        # production puzzle15 config, decomposed
+        measure("puzzle15", 20_000, 2, 8 * M, 16 * M, args.iters)
+        measure("puzzle15", 20_000, 2, 8 * M, 16 * M, args.iters, sync_every=8)
+        measure("puzzle15", 20_000, 1, 8 * M, 16 * M, args.iters)
+        measure("puzzle15", 20_000, 1, 4 * M, 8 * M, args.iters)
+        measure("puzzle15", 10_000, 1, 4 * M, 8 * M, args.iters)
+        measure("cube3", 10_000, 2, 8 * M, 16 * M, args.iters)
+
+
+if __name__ == "__main__":
+    main()
