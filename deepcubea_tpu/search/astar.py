@@ -307,7 +307,8 @@ def make_slot_reset(env: Environment, cfg: AStarConfig):
 
     @partial(jax.jit, donate_argnums=(0,))
     def reset(s: SearchState, mask: jnp.ndarray, new_roots: jnp.ndarray,
-              new_weights: jnp.ndarray) -> SearchState:
+              new_weights: jnp.ndarray,
+              park: Optional[jnp.ndarray] = None) -> SearchState:
         m1 = mask[:, None]
         solved_root = env.is_solved(new_roots)
 
@@ -332,6 +333,12 @@ def make_slot_reset(env: Environment, cfg: AStarConfig):
             return t2
         tbl = jax.vmap(ins)(tbl, rfp0, rfp1, mask)
 
+        # parked rows (stream drained, no replacement root): done=True stops
+        # their pops permanently -- the step's `live` gate makes every parked
+        # slot a no-op instead of an until-drain useless popper
+        done = jnp.where(mask, solved_root, s.done)
+        if park is not None:
+            done = done | park
         fresh0 = lambda x: jnp.where(mask, 0, x)  # noqa: E731
         return SearchState(
             states=states, g=g, f=f, h=h, parent=parent, action=action,
@@ -341,7 +348,7 @@ def make_slot_reset(env: Environment, cfg: AStarConfig):
                               jnp.where(solved_root, 0, -1), s.goal_id),
             goal_f=jnp.where(mask,
                              jnp.where(solved_root, 0.0, INF_F), s.goal_f),
-            done=jnp.where(mask, solved_root, s.done),
+            done=done,
             num_generated=fresh0(s.num_generated),
             pool_dropped=fresh0(s.pool_dropped),
             tbl_overflow=fresh0(s.tbl_overflow),
@@ -560,6 +567,7 @@ class BatchWeightedAStar:
             now = time.time()
 
             mask = np.zeros(i_slots, bool)
+            park = np.zeros(i_slots, bool)
             new_roots = np.zeros((i_slots, roots_np.shape[1]),
                                  roots_np.dtype)
             new_w = np.full(i_slots, cfg.weight, np.float32)
@@ -586,21 +594,22 @@ class BatchWeightedAStar:
                     t_assign[slot] = now
                     next_idx += 1
                 else:
-                    # no work left: leave the slot idle. A done slot never
-                    # pops; an over-budget (not-done) slot keeps popping
-                    # uselessly but harvesting already recorded its result,
-                    # and the stream is in its final drain anyway.
+                    # no work left: park the slot (done=True via the reset's
+                    # park mask) so it stops popping during the final drain.
                     slot_root[slot] = -1
+                    park[slot] = True
 
-            if mask.any():
+            if mask.any() or park.any():
                 m = jnp.asarray(mask)
                 r = jnp.asarray(new_roots)
                 w_ = jnp.asarray(new_w)
+                pk = jnp.asarray(park)
                 if self._inst_sharding is not None:
                     m = jax.device_put(m, self._inst_sharding)
                     r = jax.device_put(r, self._inst_sharding)
                     w_ = jax.device_put(w_, self._inst_sharding)
-                state = self._reset(state, m, r, w_)
+                    pk = jax.device_put(pk, self._inst_sharding)
+                state = self._reset(state, m, r, w_, pk)
             if verbose:
                 log(f"stream: {completed}/{n} done, itr {total_iters}, "
                     f"in-flight {int((slot_root >= 0).sum())}, "

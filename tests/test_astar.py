@@ -299,6 +299,38 @@ def test_solve_stream_budget_unsolved():
         assert is_valid_solution(env, roots[i], res.solutions[i])
 
 
+def test_slot_reset_park_stops_popping():
+    """A parked slot (stream drain, no replacement root) is done: further
+    steps pop nothing from it -- finish_iters and num_generated freeze."""
+    from deepcubea_tpu.search.astar import (astar_init, make_astar_step,
+                                            make_slot_reset)
+
+    env = LightsOut(3)
+    model, params, stats = zero_heuristic_model(env)
+    roots, _ = env.generate_scrambles(jax.random.PRNGKey(7), 2, 20,
+                                      depths=jnp.array([20, 20]))
+    cfg = AStarConfig(weight=1.0, batch_size=8, pool_capacity=1 << 11,
+                      table_capacity=1 << 12, max_path_len=64)
+    state = astar_init(env, cfg, roots)
+    step = make_astar_step(env, model, cfg)
+    reset = make_slot_reset(env, cfg)
+    state = step(state, params, stats)
+
+    park = jnp.array([True, False])
+    no_mask = jnp.zeros(2, bool)
+    state = reset(state, no_mask, jnp.asarray(roots),
+                  jnp.ones(2, jnp.float32), park)
+    assert bool(np.asarray(state.done)[0])
+    fi0 = np.asarray(state.finish_iters).copy()
+    gen0 = np.asarray(state.num_generated).copy()
+    for _ in range(3):
+        state = step(state, params, stats)
+    fi1 = np.asarray(state.finish_iters)
+    gen1 = np.asarray(state.num_generated)
+    assert fi1[0] == fi0[0] and gen1[0] == gen0[0]  # parked slot frozen
+    assert fi1[1] == fi0[1] + 3                      # live slot advanced
+
+
 def test_solve_stream_env_without_goal_states():
     """Streaming must not require env.goal_states (sokoban has per-instance
     hindsight goals); idle slots just stay done."""
