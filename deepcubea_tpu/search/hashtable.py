@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 INF_G = jnp.int32(0x7FFFFFFF)
@@ -86,36 +87,43 @@ def ht_insert(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,
 
     Each pass is one-shot for every still-pending key; a pass loses only
     same-round contention to a *foreign* key at the same empty slot, so the
-    pending count shrinks ~quadratically (birthday bound N^2/2H): three
-    passes leave essentially zero overflow at production loads.
+    pending count shrinks ~quadratically (birthday bound N^2/2H; 120k keys
+    into an 8M table leave ~900). Passes after the first therefore run at a
+    COMPACTED width n/8 (top_k selects the pending keys — ~0.1 ms on TPU,
+    vs ~1-2 ms for every 120k-element random gather/scatter the full-width
+    passes used to issue; the insert was ~60% of the production A* step).
+    Pending keys beyond the compacted width — impossible short of a
+    pathological load factor — become overflow-accepts, which are safe.
     """
     t_fp0, t_fp1, t_g, claim = tbl
     h = t_fp0.shape[0]
     n = fp0.shape[0]
     fp0 = _remap_empty(fp0)
-    idx = jnp.arange(n, dtype=jnp.int32)
 
-    accept = jnp.zeros((n,), bool)
-    done = ~valid
-
-    for _ in range(passes):
-        pending = ~done
-        slots = _probe_slots(fp0, fp1, max_probes, h - 1)   # (N, P)
-        t0 = t_fp0[slots]                                   # one big gather
-        stop = (t0 == fp0[:, None]) | (t0 == 0)
+    def one_pass(t_fp0, t_fp1, t_g, claim, kfp0, kfp1, kg, pending):
+        """One one-shot contention round for keys (kfp0,kfp1,kg); returns
+        updated table arrays + per-key (resolved, accepted) masks."""
+        m = kfp0.shape[0]
+        idx = jnp.arange(m, dtype=jnp.int32)
+        slots = _probe_slots(kfp0, kfp1, max_probes, h - 1)  # (M, P)
+        t0 = t_fp0[slots]                                    # one big gather
+        stop = (t0 == kfp0[:, None]) | (t0 == 0)
         has = jnp.any(stop, axis=1)
         first = jnp.argmax(stop, axis=1)
         sel = jnp.take_along_axis(slots, first[:, None], axis=1)[:, 0]
         t0_at = jnp.take_along_axis(t0, first[:, None], axis=1)[:, 0]
         is_empty = pending & has & (t0_at == 0)
 
-        # contend for empty slots; gather-back verifies the single winner
+        # contend for empty slots; gather-back verifies the single winner.
+        # Stale claim values (earlier passes/calls, or a slot reset) are
+        # harmless: every contender scatters before anyone reads, so a
+        # contested slot always holds one of this round's indices.
         claim = claim.at[jnp.where(is_empty, sel, h)].set(idx, mode="drop")
         won = is_empty & (claim[sel] == idx)
         ws = jnp.where(won, sel, h)
-        t_fp0 = t_fp0.at[ws].set(fp0, mode="drop")
-        t_fp1 = t_fp1.at[ws].set(fp1, mode="drop")
-        t_g = t_g.at[ws].set(g, mode="drop")
+        t_fp0 = t_fp0.at[ws].set(kfp0, mode="drop")
+        t_fp1 = t_fp1.at[ws].set(kfp1, mode="drop")
+        t_g = t_g.at[ws].set(kg, mode="drop")
 
         # one verify pass settles match path, winners, and duplicate-key
         # losers (the winner just filled their slot, turning them into
@@ -128,12 +136,41 @@ def ht_insert(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,
         # Making the stop predicate (fp0, fp1)-exact would double the
         # dominant fused-gather cost for that 2^-32 event — not worth it.
         v0, v1, vg = t_fp0[sel], t_fp1[sel], t_g[sel]
-        now_match = pending & has & (v0 == fp0) & (v1 == fp1)
-        cheaper = now_match & (g < vg)
-        t_g = t_g.at[jnp.where(cheaper, sel, h)].min(g, mode="drop")
+        now_match = pending & has & (v0 == kfp0) & (v1 == kfp1)
+        cheaper = now_match & (kg < vg)
+        t_g = t_g.at[jnp.where(cheaper, sel, h)].min(kg, mode="drop")
+        return (t_fp0, t_fp1, t_g, claim,
+                won | now_match, won | cheaper)
 
-        accept = accept | won | cheaper
-        done = done | won | now_match
+    t_fp0, t_fp1, t_g, claim, resolved, accepted = one_pass(
+        t_fp0, t_fp1, t_g, claim, fp0, fp1, g, valid)
+    accept = accepted
+    done = ~valid | resolved
+
+    if passes > 1 and n > 1:
+        # compact the ~quadratically-shrunk pending set and finish it at
+        # width m: one cheap top_k + m-sized gathers replace full-width
+        # random ops in every later pass. Expected pending after pass 1 is
+        # ~N^2/(2*empty); sizing m at 8*N^2/H covers loads up to 75% with a
+        # 4x margin (n=120k, H=8M -> m~14k ~ n/8). Beyond m: overflow-accept.
+        m = min(n, max(128, 8 * n * n // h))
+        pending = valid & ~done
+        _, pidx = jax.lax.top_k(pending.astype(jnp.int32), m)
+        cvalid = pending[pidx]
+        cfp0, cfp1, cg = fp0[pidx], fp1[pidx], g[pidx]
+        cdone = ~cvalid
+        caccept = jnp.zeros((m,), bool)
+        for _ in range(passes - 1):
+            t_fp0, t_fp1, t_g, claim, resolved, accepted = one_pass(
+                t_fp0, t_fp1, t_g, claim, cfp0, cfp1, cg, ~cdone)
+            caccept = caccept | accepted
+            cdone = cdone | resolved
+        # scatter the compacted outcomes back to full width
+        safe = jnp.where(cvalid, pidx, n)
+        accept = accept | jnp.zeros((n,), bool).at[safe].set(
+            caccept, mode="drop")
+        done = done | jnp.zeros((n,), bool).at[safe].set(
+            cdone & cvalid, mode="drop")
 
     # still pending: accepted without insertion (safe; counts as overflow)
     leftover = valid & ~done
