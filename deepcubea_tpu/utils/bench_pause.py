@@ -26,9 +26,30 @@ import sys
 import threading
 import time
 
+from .quiesce import REQUESTER_FILE
+
 REPO_ROOT = os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__))))
 PIDFILE = os.path.join(REPO_ROOT, "logs", "tpu_jobs.pids")
+
+
+def _open_pause_window():
+    """Publish this process as the active quiesce requester. check_quiesce
+    self-stops ONLY while this file names a live process — a SIGUSR1
+    consumed after the window closes is ignored instead of self-stopping
+    with nobody left to SIGCONT (the round-3 four-trainer stall)."""
+    try:
+        with open(REQUESTER_FILE, "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        pass
+
+
+def _close_pause_window():
+    try:
+        os.remove(REQUESTER_FILE)
+    except OSError:
+        pass
 
 
 def _log(*a):
@@ -78,6 +99,7 @@ def pause_background_jobs(quiesce_deadline_s: float = 300.0,
     watchdog_stop = threading.Event()
     if jobs:
         # ask jobs to quiesce at their next safe point
+        _open_pause_window()
         for p in jobs:
             try:
                 os.kill(p, signal.SIGUSR1)
@@ -122,6 +144,7 @@ def pause_background_jobs(quiesce_deadline_s: float = 300.0,
             if not watchdog_stop.wait(watchdog_s):
                 _log(f"bench watchdog fired after {watchdog_s:.0f}s: "
                      f"resuming jobs and aborting")
+                _close_pause_window()
                 _resume(paused)
                 os._exit(3)
         threading.Thread(target=_watchdog, daemon=True).start()
@@ -130,6 +153,7 @@ def pause_background_jobs(quiesce_deadline_s: float = 300.0,
         yield
     finally:
         watchdog_stop.set()
+        _close_pause_window()   # before SIGCONT: no self-stop after resume
         _resume(paused)
         for sig, h in prev_handlers.items():
             signal.signal(sig, h)

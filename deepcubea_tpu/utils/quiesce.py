@@ -22,6 +22,12 @@ import signal
 
 _flag = {"quiesce": False}
 
+#: the benchmark writes its pid here for the duration of the pause window
+#: (bench_pause.py); removed before jobs are resumed
+REQUESTER_FILE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "logs", "quiesce_requester.pid")
+
 
 def _on_sigusr1(signum, frame):
     _flag["quiesce"] = True
@@ -32,9 +38,28 @@ def install_quiesce_handler() -> None:
     signal.signal(signal.SIGUSR1, _on_sigusr1)
 
 
+def _requester_active() -> bool:
+    """True iff a benchmark's pause window is still open: its pid file
+    exists and that process is alive. Guards against the stale-flag race
+    (observed round 3): a SIGUSR1 delivered while the main thread was deep
+    in a device call could be consumed at a safe point AFTER the benchmark
+    had already given up waiting (300s deadline), SIGSTOPped directly,
+    measured, and resumed everyone -- the late self-SIGSTOP then had no
+    one left to SIGCONT it, stalling four trainers indefinitely."""
+    try:
+        with open(REQUESTER_FILE) as f:
+            pid = int(f.read().strip())
+        os.kill(pid, 0)
+        return True
+    except (OSError, ValueError):
+        return False
+
+
 def check_quiesce() -> None:
     """Call at safe points (no device work in flight). If a quiesce was
-    requested, stop HERE until SIGCONT."""
+    requested and its requester still holds the pause window open, stop
+    HERE until SIGCONT."""
     if _flag["quiesce"]:
         _flag["quiesce"] = False
-        os.kill(os.getpid(), signal.SIGSTOP)
+        if _requester_active():
+            os.kill(os.getpid(), signal.SIGSTOP)
