@@ -74,8 +74,8 @@ DOMAINS = {
         base_secs=144.08, base_nodes=19_766_226),
     "lightsout7": dict(
         model="saved_models/lightsout7_r3/current", weight=0.2,
-        batch_size=1000, instances=8, pool=1 << 21, table=1 << 22,
-        max_iters=4000, base_secs=5.90, base_nodes=1_142_240),
+        batch_size=1000, instances=4, pool=1 << 22, table=1 << 23,
+        max_iters=8000, base_secs=5.90, base_nodes=1_142_240),
     "sokoban": dict(
         model="saved_models/sokoban/current", weight=0.8, batch_size=64,
         instances=16, pool=1 << 16, table=1 << 17, max_iters=2000,
