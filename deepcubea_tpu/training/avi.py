@@ -306,6 +306,7 @@ class AVITrainer:
         self.last_loss = float("inf")
         self.last_swapped = False
         self.last_eval = None
+        self._deep_band_hist: list = []
         self._best_loss_since_swap = float("inf")
         self._stall_count = 0
 
@@ -506,6 +507,23 @@ class AVITrainer:
             self.log(f"Oracle: pred {h[m].mean():.2f} vs optimal "
                      f"{opt[m].mean():.2f}, MAD {np.abs(h[m] - opt[m]).mean():.2f}, "
                      f"corr {corr:.3f} (depth-{self.cfg.back_max} probe)")
+        # deep-band trend: mean %solved over the deepest third of the
+        # scramble-depth buckets, tracked across evals. A value function
+        # can plateau invisibly behind a noisy loss (round-2 puzzle35 /
+        # lightsout7); this prints the actionable signal inline instead of
+        # leaving it to post-hoc scripts/trend_gbfs.py.
+        depths = sorted(stats.keys())
+        deep = [d for d in depths if d >= depths[-1] * 2 // 3]
+        db = float(np.mean([stats[d]["per_solved"] for d in deep]))
+        self._deep_band_hist.append(db)
+        hist = self._deep_band_hist
+        if len(hist) > 6:
+            delta = max(hist[-3:]) - max(hist[:-3])
+            tag = " [STALLED]" if delta <= 0.5 and max(hist[:-3]) < 99.5 \
+                else ""
+            self.log(f"Deep-band (>= {deep[0]} back-steps) solved: "
+                     f"{db:.1f}% (best-before {max(hist[:-3]):.1f}%, "
+                     f"recent-max delta {delta:+.1f}pp){tag}")
         self.log(f"Test time: {time.time() - t0:.2f}")
         return stats
 
