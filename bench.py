@@ -191,8 +191,10 @@ def main():
                         "instead of the headline kernel benchmark")
     p.add_argument("--num_states", type=int, default=20)
     p.add_argument("--start_idx", type=int, default=0)
+    p.add_argument("--watchdog_s", type=float, default=1200.0,
+                   help="pause-window watchdog; raise for long solve slices")
     args = p.parse_args()
-    with pause_background_jobs():
+    with pause_background_jobs(watchdog_s=args.watchdog_s):
         if args.domain:
             bench_domain(args.domain, args.num_states, args.start_idx)
         else:
