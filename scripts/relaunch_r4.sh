@@ -56,9 +56,13 @@ nohup python -m deepcubea_tpu.cli.train --env sokoban --nnet_name sokoban \
 echo $! >> "$PIDFILE"; log "sokoban train pid $!"
 sleep 60
 
-# 4. puzzle35 trainer resume
+# 4. puzzle35 trainer resume. The reference budget (1M itrs, train.sh:45)
+#    completed at end of round 3; deep-band GBFS was still climbing fast
+#    under double-Q (6.6% -> 34% in the final day), so extend to 1.5M.
+#    ALTERNATIVELY: probe first (bench.py --domain puzzle35 --num_states 6)
+#    and go straight to the 500-state campaign if the probe solves.
 nohup python -m deepcubea_tpu.cli.train --env puzzle35 --states_per_update 50000000 \
-  --batch_size 10000 --nnet_name puzzle35 --max_itrs 1000000 --loss_thresh 1.0 \
+  --batch_size 10000 --nnet_name puzzle35 --max_itrs 1500000 --loss_thresh 1.0 \
   --back_max 1000 --max_update_steps 200 --plateau_promote 3 --scramble_pool -1 \
   --num_test 10000 --double_q --save_dir saved_models >> logs/puzzle35_train_r3.log 2>&1 &
 echo $! >> "$PIDFILE"; log "puzzle35 train pid $!"
