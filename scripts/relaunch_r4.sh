@@ -45,15 +45,15 @@ nohup python -m deepcubea_tpu.cli.solve --states /root/reference/data/cube3/test
 echo $! >> "$PIDFILE"; log "cube3_w07 solve pid $!"
 sleep 60
 
-# 3. sokoban trainer resume (plateau promotion drives updates past the
-#    loss_thresh wall that stalled it at update 57 / reference 510)
-nohup python -m deepcubea_tpu.cli.train --env sokoban --nnet_name sokoban \
-  --batch_size 1000 --states_per_update 5000000 --loss_thresh 1.0 --back_max 1000 \
-  --max_update_steps 50 --update_method gbfs --scramble_pool -1 --num_test 1000 \
-  --max_itrs 2000000 --plateau_promote 3 --double_q \
-  --sokoban_boards /root/reference/data/sokoban/data_0.pkl \
-  --save_dir saved_models >> logs/sokoban_train_r3.log 2>&1 &
-echo $! >> "$PIDFILE"; log "sokoban train pid $!"
+# 3. sokoban: retraining COMPLETED at end of round 3 (2M itrs, loss
+#    1.31 -> 0.13, depth-1000 GBFS 31% -> 72.7%). Run the 19-state retry
+#    with the new net (launched at r3 end; resume-safe):
+nohup python -m deepcubea_tpu.cli.solve --states /root/reference/data/sokoban/test/data_0.pkl \
+  --model saved_models/sokoban/current --env sokoban --weight 0.8 --batch_size 256 \
+  --instances 1 --stream --max_iters 32768 --pool_capacity 8388608 \
+  --table_capacity 16777216 --max_probes 6 --approx_pop \
+  --results_dir results/sokoban --resume >> logs/sokoban_retry_r3b.log 2>&1 &
+echo $! >> "$PIDFILE"; log "sokoban retry pid $!"
 sleep 60
 
 # 4. puzzle35 trainer resume. The reference budget (1M itrs, train.sh:45)
