@@ -29,7 +29,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure(env_name, batch, instances, pool, table, iters, sync_every=None):
+def measure(env_name, batch, instances, pool, table, iters, sync_every=None,
+            eval_budget=1.0, max_probes=6, approx_pop=True, label=""):
     from deepcubea_tpu.envs import get_environment
     from deepcubea_tpu.models import build_model, init_variables
     from deepcubea_tpu.search import AStarConfig, astar_init, make_astar_step
@@ -39,7 +40,8 @@ def measure(env_name, batch, instances, pool, table, iters, sync_every=None):
     params, stats = init_variables(model, jax.random.PRNGKey(0),
                                    env.encode(env.goal_states(2)))
     cfg = AStarConfig(weight=0.8, batch_size=batch, pool_capacity=pool,
-                      table_capacity=table, approx_pop=True, max_probes=6)
+                      table_capacity=table, approx_pop=approx_pop,
+                      max_probes=max_probes, eval_budget_fraction=eval_budget)
     roots, _ = env.generate_scrambles(
         jax.random.PRNGKey(1), instances, 1000,
         depths=jnp.full((instances,), 1000, jnp.int32))
@@ -68,29 +70,56 @@ def measure(env_name, batch, instances, pool, table, iters, sync_every=None):
     jax.block_until_ready(state.f)
     dt = (time.time() - t0) / iters
     nodes_s = batch * env.num_actions * instances / dt
-    tag = (f"{env_name} B={batch} I={instances} pool=2^{pool.bit_length()-1} "
-           f"tbl=2^{table.bit_length()-1} "
-           f"sync={'every'+str(sync_every) if sync_every else 'free'}")
+    tag = label or (
+        f"{env_name} B={batch} I={instances} pool=2^{pool.bit_length()-1} "
+        f"tbl=2^{table.bit_length()-1} "
+        f"sync={'every'+str(sync_every) if sync_every else 'free'}")
     print(f"{tag}: {dt*1000:8.1f} ms/step  {nodes_s:12,.0f} nodes/s  "
           f"(compile {compile_s:.0f}s)", flush=True)
+
+
+def sweep_configs(iters):
+    """Original kernel-vs-production sweep (r3 campaign-gap diagnosis)."""
+    M = 1 << 20
+    measure("cube3", 10_000, 1, 4 * M, 8 * M, iters)
+    measure("puzzle15", 20_000, 2, 8 * M, 16 * M, iters)
+    measure("puzzle15", 20_000, 2, 8 * M, 16 * M, iters, sync_every=8)
+    measure("puzzle15", 20_000, 1, 8 * M, 16 * M, iters)
+    measure("puzzle15", 20_000, 1, 4 * M, 8 * M, iters)
+    measure("puzzle15", 10_000, 1, 4 * M, 8 * M, iters)
+    measure("cube3", 10_000, 2, 8 * M, 16 * M, iters)
+
+
+def sweep_breakdown(iters):
+    """Bisect the cube3 B=10k step (~79 ms) into components via config
+    knobs: NN share (eval_budget->0), probe share (max_probes 1 vs 6),
+    pop share (exact top_k vs approx), table-size share (1M vs 8M)."""
+    M = 1 << 20
+    base = dict(env_name="cube3", batch=10_000, instances=1,
+                pool=4 * M, table=8 * M, iters=iters)
+    measure(**base, label="full step (baseline)")
+    measure(**base, eval_budget=1e-6, label="no NN   (eval_budget~0)")
+    measure(**base, max_probes=1, label="1 probe  (vs 6)")
+    measure(**base, eval_budget=1e-6, max_probes=1,
+            label="no NN + 1 probe")
+    measure(**base, approx_pop=False, label="exact top_k pop")
+    measure("cube3", 10_000, 1, 4 * M, 1 * M, iters,
+            label="small table (1M vs 8M)")
+    measure(**base, eval_budget=0.5, label="NN on 50% of children")
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=16)
+    p.add_argument("--mode", choices=["configs", "breakdown"],
+                   default="configs")
     args = p.parse_args()
     log(f"devices: {jax.devices()}")
     with pause_background_jobs():
-        M = 1 << 20
-        # kernel-bench reference point
-        measure("cube3", 10_000, 1, 4 * M, 8 * M, args.iters)
-        # production puzzle15 config, decomposed
-        measure("puzzle15", 20_000, 2, 8 * M, 16 * M, args.iters)
-        measure("puzzle15", 20_000, 2, 8 * M, 16 * M, args.iters, sync_every=8)
-        measure("puzzle15", 20_000, 1, 8 * M, 16 * M, args.iters)
-        measure("puzzle15", 20_000, 1, 4 * M, 8 * M, args.iters)
-        measure("puzzle15", 10_000, 1, 4 * M, 8 * M, args.iters)
-        measure("cube3", 10_000, 2, 8 * M, 16 * M, args.iters)
+        if args.mode == "breakdown":
+            sweep_breakdown(args.iters)
+        else:
+            sweep_configs(args.iters)
 
 
 if __name__ == "__main__":
