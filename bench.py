@@ -117,14 +117,22 @@ def bench_domain(domain: str, num_states: int, start_idx: int):
     n = len(r["solutions"])
     nodes = int(np.sum(r["num_nodes_generated"]))
     lens = [len(s) for s in solved]
-    # the first `instances` states are assigned at t0, so their wall times
-    # absorb the one-off XLA compile (solve_stream t_assign semantics);
-    # exclude them from the headline per-state time, report median too.
+    # the first `instances` states ASSIGNED (not the first by index — under
+    # --sort_by_h assignment follows heuristic order, recorded by cli.solve
+    # as results['assign_order']) absorb the one-off XLA compile; exclude
+    # them from the headline per-state time, report median too.
     warm = min(d["instances"], n)
     times = np.asarray(r["times"], np.float64)
-    steady_t = times[warm:] if n > warm else times
-    steady_nodes = np.asarray(r["num_nodes_generated"][warm:]
-                              if n > warm else r["num_nodes_generated"])
+    nodes_arr = np.asarray(r["num_nodes_generated"], np.float64)
+    assign = r.get("assign_order")
+    if assign is not None and n > warm:
+        warm_set = set(assign[:warm])
+        keep = np.array([i for i in range(n) if i not in warm_set], np.int64)
+        steady_t, steady_nodes = times[keep], nodes_arr[keep]
+    elif n > warm:  # legacy pickle without assign_order
+        steady_t, steady_nodes = times[warm:], nodes_arr[warm:]
+    else:
+        steady_t, steady_nodes = times, nodes_arr
     per_state = float(np.mean(steady_t))
     print(json.dumps({
         "metric": f"{domain} clean-timing solve slice "

@@ -228,6 +228,16 @@ def main(argv=None):
         order = np.array([i for i in order
                           if results["solutions"][i] is None], np.int64)
 
+    # provenance for readers (bench.py clean-timing, compare): which states
+    # were assigned first (their wall times absorb the one-off XLA compile)
+    # and which timing convention the `times` column uses — stream = true
+    # per-state wall clock, lockstep = batch time prorated by finish_iters
+    results["assign_order"] = [int(i) for i in order]
+    results["engine"] = args.engine
+    results["timing_mode"] = ("stream" if (args.stream and
+                                           args.engine == "device")
+                              else "lockstep-prorated")
+
     n_work = len(order)
     if args.stream and args.engine == "device" and n_work > 0:
         _solve_streaming(args, env, solver, states, order, results)

@@ -153,6 +153,11 @@ def main(argv=None):
         trainer.update_num = ckpt["meta"].get("update_num", 0)
         print(f"resumed from {curr_dir}: itr {trainer.itr}, "
               f"update {trainer.update_num}")
+        nh = trainer.load_deep_band_history(
+            os.path.join(model_dir, "metrics.jsonl"))
+        if nh:
+            print(f"deep-band history rebuilt from metrics.jsonl: "
+                  f"{nh} evals")
         tgt = load_checkpoint(targ_dir)
         if tgt is not None:
             trainer.target_params = jax.tree_util.tree_map(

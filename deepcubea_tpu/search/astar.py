@@ -50,7 +50,13 @@ class AStarConfig:
     weight: float = 1.0           # per-run default; per-instance override in init
     batch_size: int = 1000        # nodes popped per instance per iteration
     pool_capacity: int = 1 << 20  # node pool slots per instance
-    table_capacity: int = 1 << 21 # closed-table slots per instance (2x pool)
+    #: closed-table slots per instance. Size at >= 2x pool_capacity: past
+    #: ~75% load the insert kernel's compacted passes 2..k (width
+    #: m = 8*n^2/H, hashtable.py) can no longer hold the pass-1 pending
+    #: set, and the surplus silently degrades to overflow-accepts
+    #: (re-expansion churn, visible only via tbl_overflow) exactly when
+    #: pool pressure is worst (ADVICE r3)
+    table_capacity: int = 1 << 21
     max_probes: int = 16
     first_goal: bool = False      # True = Python semantics (stop at first goal)
     approx_pop: bool = False      # use approx top-k (faster on TPU, ~same quality)

@@ -481,6 +481,32 @@ class AVITrainer:
             self._stall_count = 0
         return self.last_swapped
 
+    def load_deep_band_history(self, metrics_path: str) -> int:
+        """Rebuild the deep-band %solved series from a metrics.jsonl written
+        by cli.train. Without this every restart resets the history, so the
+        [STALLED] detector cannot fire until 7 fresh evals accumulate and
+        best-before deltas compare against post-restart values — masking
+        exactly the plateau the feature exists to catch (ADVICE r3)."""
+        import json as _json
+        hist = []
+        try:
+            with open(metrics_path) as f:
+                for line in f:
+                    try:
+                        ev = _json.loads(line).get("eval")
+                    except ValueError:
+                        continue
+                    if not ev:
+                        continue
+                    depths = sorted(int(d) for d in ev)
+                    deep = [d for d in depths if d >= depths[-1] * 2 // 3]
+                    hist.append(float(np.mean(
+                        [ev[str(d)]["per_solved"] for d in deep])))
+        except OSError:
+            return 0
+        self._deep_band_hist = hist
+        return len(hist)
+
     def evaluate(self) -> dict:
         self.key, k = jax.random.split(self.key)
         max_steps = min(self.update_num + 1, self.cfg.back_max)

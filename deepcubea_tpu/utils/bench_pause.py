@@ -154,7 +154,14 @@ def pause_background_jobs(quiesce_deadline_s: float = 300.0,
     finally:
         watchdog_stop.set()
         _close_pause_window()   # before SIGCONT: no self-stop after resume
-        _resume(paused)
+        # Resume EVERY job in the pidfile, not just the ones we SIGSTOPped:
+        # check_quiesce's requester-alive check and its self-SIGSTOP are not
+        # atomic, so a job can still self-stop in the microsecond after the
+        # window closes. A second CONT sweep after a short delay wakes any
+        # such straggler (ADVICE r3).
+        _resume(dict.fromkeys(list(paused) + jobs))
+        time.sleep(0.5)
+        _resume(dict.fromkeys(list(paused) + jobs))
         for sig, h in prev_handlers.items():
             signal.signal(sig, h)
         if paused:
