@@ -551,6 +551,10 @@ class AVITrainer:
                      f"{db:.1f}% (best-before {max(hist[:-3]):.1f}%, "
                      f"recent-max delta {delta:+.1f}pp){tag}")
         self.log(f"Test time: {time.time() - t0:.2f}")
+        # eval is the longest stretch between run_update's per-chunk safe
+        # points (several multi-second dispatches, worse when the chip is
+        # time-sliced) — give the cooperative bench pause a safe point here
+        check_quiesce()
         return stats
 
     def train(self, max_itrs: Optional[int] = None,
