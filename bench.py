@@ -54,23 +54,27 @@ REF = "/root/reference"
 DOMAINS = {
     "cube3": dict(
         model="saved_models/cube3_r2/current", weight=0.7, batch_size=10000,
-        instances=2, pool=1 << 24, table=1 << 25, max_iters=3000,
+        instances=1, pool=1 << 24, table=1 << 25, max_iters=3000,
         base_secs=75.61, base_nodes=8_185_993),
+    # instances=1 everywhere the batch is large: the r3 config sweep
+    # (logs/profile_step.log) measured I=2 at ~3.3x the I=1 step time
+    # (the vmapped closed-table ops serialize their latency-bound gather
+    # chains across the instance axis), so one slot at B=20k outruns two
     "puzzle15": dict(
         model="saved_models/puzzle15/current", weight=0.8, batch_size=20000,
-        instances=2, pool=1 << 23, table=1 << 24, max_iters=1200,
+        instances=1, pool=1 << 23, table=1 << 24, max_iters=1200,
         base_secs=8.82, base_nodes=3_277_626),
     "puzzle24": dict(
         model="saved_models/puzzle24/current", weight=0.8, batch_size=20000,
-        instances=2, pool=1 << 24, table=1 << 25, max_iters=2000,
+        instances=1, pool=1 << 24, table=1 << 25, max_iters=2000,
         base_secs=22.94, base_nodes=6_380_875),
     "puzzle35": dict(
         model="saved_models/puzzle35/current", weight=0.8, batch_size=20000,
-        instances=2, pool=1 << 24, table=1 << 25, max_iters=3000,
+        instances=1, pool=1 << 24, table=1 << 25, max_iters=3000,
         base_secs=45.39, base_nodes=9_256_350),
     "puzzle48": dict(
         model="saved_models/puzzle48/current", weight=0.6, batch_size=20000,
-        instances=2, pool=1 << 24, table=1 << 25, max_iters=4000,
+        instances=1, pool=1 << 24, table=1 << 25, max_iters=4000,
         base_secs=144.08, base_nodes=19_766_226),
     "lightsout7": dict(
         model="saved_models/lightsout7_r3/current", weight=0.2,
