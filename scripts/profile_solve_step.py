@@ -108,19 +108,35 @@ def sweep_breakdown(iters):
     measure(**base, eval_budget=0.5, label="NN on 50% of children")
 
 
+def sweep_iaxis(iters):
+    """Round-4: why does I=2 cost 3.3x an I=1 step (not 2x)? Bisect the
+    instance-axis penalty into NN / table-probe / pop shares."""
+    M = 1 << 20
+    for inst in (1, 2, 4):
+        base = dict(env_name="cube3", batch=10_000, instances=inst,
+                    pool=4 * M, table=8 * M, iters=iters)
+        measure(**base, label=f"I={inst} full")
+        measure(**base, eval_budget=1e-6, label=f"I={inst} no NN")
+        measure(**base, eval_budget=1e-6, max_probes=1,
+                label=f"I={inst} no NN, 1 probe")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=16)
-    p.add_argument("--mode", choices=["configs", "breakdown"],
+    p.add_argument("--mode", choices=["configs", "breakdown", "iaxis"],
                    default="configs")
     args = p.parse_args()
     log(f"devices: {jax.devices()}")
     with pause_background_jobs():
         if args.mode == "breakdown":
             sweep_breakdown(args.iters)
+        elif args.mode == "iaxis":
+            sweep_iaxis(args.iters)
         else:
             sweep_configs(args.iters)
 
 
 if __name__ == "__main__":
     main()
+
