@@ -118,11 +118,13 @@ def astar_init(env: Environment, cfg: AStarConfig,
                     claim=jnp.zeros((i, h), jnp.int32))
     consts = _fp_consts(env)
     fp0, fp1 = fingerprint(roots, consts)
-    tbl, _, _ = jax.vmap(
-        lambda t, a, b: ht_insert(t, a[None], b[None],
-                                  jnp.zeros((1,), jnp.int32),
-                                  jnp.ones((1,), bool), cfg.max_probes)
-    )(tbl, fp0, fp1)
+    # flat multi-instance insert: one op over the concatenated tables
+    tblf = HashTable(*(x.reshape(-1) for x in tbl))
+    tblf, _, _ = ht_insert(tblf, fp0, fp1, jnp.zeros((i,), jnp.int32),
+                           jnp.ones((i,), bool), cfg.max_probes,
+                           base=jnp.arange(i, dtype=jnp.int32) * h,
+                           inst_capacity=h)
+    tbl = HashTable(*(x.reshape(i, h) for x in tblf))
 
     solved_root = env.is_solved(roots)
     return SearchState(
@@ -174,9 +176,17 @@ def make_astar_step(env: Environment, model: ResnetValueNet,
         pop_g = s.g[rows, pop_idx]                     # (I, B)
 
         # ---- stale-pop rejection: a cheaper copy was already expanded ----
+        # table ops run FLAT over the concatenated per-instance tables
+        # (base-offset probing): one latency-bound gather/scatter chain for
+        # all instances instead of I vmapped chains (r3 sweep: I=2 cost
+        # 3.3x an I=1 step under the vmapped form)
+        ht_cap = s.tbl.fp0.shape[1]
+        tblf = HashTable(*(x.reshape(-1) for x in s.tbl))
+        inst_base = jnp.arange(i, dtype=jnp.int32) * ht_cap
         pfp0, pfp1 = fingerprint(pop_states.reshape(i * b, w), consts)
-        g_best = jax.vmap(partial(ht_lookup, max_probes=cfg.max_probes))(
-            s.tbl, pfp0.reshape(i, b), pfp1.reshape(i, b))
+        g_best = ht_lookup(tblf, pfp0, pfp1, cfg.max_probes,
+                           base=jnp.repeat(inst_base, b),
+                           inst_capacity=ht_cap).reshape(i, b)
         valid_pop = popped_real & (pop_g <= g_best)
 
         min_pop_f = jnp.min(jnp.where(valid_pop, pop_f, INF_F), axis=1)
@@ -192,10 +202,13 @@ def make_astar_step(env: Environment, model: ResnetValueNet,
 
         # ---- closed-set dedup + reopen FIRST (astar.py:78-90) -----------
         cfp0, cfp1 = fingerprint(flat_ch, consts)
-        tbl, accept, ovf = jax.vmap(
-            partial(ht_insert, max_probes=cfg.max_probes))(
-            s.tbl, cfp0.reshape(i, b * a), cfp1.reshape(i, b * a),
-            child_g, valid_ch)
+        tblf, accept_f, leftover = ht_insert(
+            tblf, cfp0, cfp1, child_g.reshape(-1), valid_ch.reshape(-1),
+            cfg.max_probes, base=jnp.repeat(inst_base, b * a),
+            inst_capacity=ht_cap)
+        tbl = HashTable(*(x.reshape(i, ht_cap) for x in tblf))
+        accept = accept_f.reshape(i, b * a)
+        ovf = leftover.reshape(i, b * a).sum(axis=1)
         offs = jnp.cumsum(accept.astype(jnp.int32), axis=1) - 1
 
         # ---- heuristic: accepted children only, up to the NN budget ------
@@ -332,12 +345,15 @@ def make_slot_reset(env: Environment, cfg: AStarConfig):
         tbl = s.tbl._replace(fp0=jnp.where(m1, jnp.uint32(0), s.tbl.fp0))
         rfp0, rfp1 = fingerprint(new_roots, consts)
 
-        def ins(t, a, b, v):
-            t2, _, _ = ht_insert(t, a[None], b[None],
-                                 jnp.zeros((1,), jnp.int32), v[None],
-                                 cfg.max_probes)
-            return t2
-        tbl = jax.vmap(ins)(tbl, rfp0, rfp1, mask)
+        n_i = mask.shape[0]
+        cap = tbl.fp0.shape[1]
+        tblf = HashTable(*(x.reshape(-1) for x in tbl))
+        tblf, _, _ = ht_insert(tblf, rfp0, rfp1,
+                               jnp.zeros((n_i,), jnp.int32), mask,
+                               cfg.max_probes,
+                               base=jnp.arange(n_i, dtype=jnp.int32) * cap,
+                               inst_capacity=cap)
+        tbl = HashTable(*(x.reshape(n_i, cap) for x in tblf))
 
         # parked rows (stream drained, no replacement root): done=True stops
         # their pops permanently -- the step's `live` gate makes every parked

@@ -67,17 +67,28 @@ def _remap_empty(fp0: jnp.ndarray) -> jnp.ndarray:
 
 
 def _probe_slots(fp0: jnp.ndarray, fp1: jnp.ndarray, num_probes: int,
-                 mask: int) -> jnp.ndarray:
-    """(N, P) int32 candidate slots per key under double hashing."""
+                 mask: int, base=None) -> jnp.ndarray:
+    """(N, P) int32 candidate slots per key under double hashing.
+
+    With `base` (per-key int32 offsets), slots address a FLAT concatenation
+    of per-instance tables: probe within the instance's power-of-2 region
+    (mask = per-instance capacity - 1), then shift by the region offset.
+    This is how the search layer batches I instances' probes into ONE
+    gather instead of I vmapped chains (round-4 instance-axis fix)."""
     step = fp1 | jnp.uint32(1)
     k = jnp.arange(num_probes, dtype=jnp.uint32)[None, :]
-    return ((fp0[:, None] + k * step[:, None])
-            & jnp.uint32(mask)).astype(jnp.int32)
+    slots = ((fp0[:, None] + k * step[:, None])
+             & jnp.uint32(mask)).astype(jnp.int32)
+    if base is not None:
+        slots = slots + base[:, None]
+    return slots
 
 
 def ht_insert(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,
               g: jnp.ndarray, valid: jnp.ndarray, max_probes: int = 16,
-              passes: int = 3) -> Tuple[HashTable, jnp.ndarray, jnp.ndarray]:
+              passes: int = 3, base=None,
+              inst_capacity: int = 0) -> Tuple[HashTable, jnp.ndarray,
+                                               jnp.ndarray]:
     """Insert a batch of keys with costs; returns (table, accept, overflow).
 
     accept[i] is True iff entry i is new or strictly cheaper than the
@@ -94,18 +105,29 @@ def ht_insert(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,
     passes used to issue; the insert was ~60% of the production A* step).
     Pending keys beyond the compacted width — impossible short of a
     pathological load factor — become overflow-accepts, which are safe.
+
+    Flat multi-instance mode (`base` + `inst_capacity`): the table arrays
+    are the concatenation of I per-instance tables of `inst_capacity`
+    slots and base[k] = instance(k) * inst_capacity. Probing stays inside
+    each key's instance region, so semantics are identical to vmapping the
+    single-instance form — but every gather/scatter is one flat op over
+    all instances. The compaction width formula is invariant: summed
+    per-instance pending I*(n/I)^2/(2*h_inst) equals n^2/(2*H_total).
     """
     t_fp0, t_fp1, t_g, claim = tbl
     h = t_fp0.shape[0]
     n = fp0.shape[0]
     fp0 = _remap_empty(fp0)
+    probe_mask = (inst_capacity - 1) if base is not None else (h - 1)
 
-    def one_pass(t_fp0, t_fp1, t_g, claim, kfp0, kfp1, kg, pending):
+    def one_pass(t_fp0, t_fp1, t_g, claim, kfp0, kfp1, kg, pending,
+                 kbase=None):
         """One one-shot contention round for keys (kfp0,kfp1,kg); returns
         updated table arrays + per-key (resolved, accepted) masks."""
         m = kfp0.shape[0]
         idx = jnp.arange(m, dtype=jnp.int32)
-        slots = _probe_slots(kfp0, kfp1, max_probes, h - 1)  # (M, P)
+        slots = _probe_slots(kfp0, kfp1, max_probes, probe_mask,
+                             kbase)                          # (M, P)
         t0 = t_fp0[slots]                                    # one big gather
         stop = (t0 == kfp0[:, None]) | (t0 == 0)
         has = jnp.any(stop, axis=1)
@@ -143,7 +165,7 @@ def ht_insert(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,
                 won | now_match, won | cheaper)
 
     t_fp0, t_fp1, t_g, claim, resolved, accepted = one_pass(
-        t_fp0, t_fp1, t_g, claim, fp0, fp1, g, valid)
+        t_fp0, t_fp1, t_g, claim, fp0, fp1, g, valid, base)
     accept = accepted
     done = ~valid | resolved
 
@@ -158,11 +180,12 @@ def ht_insert(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,
         _, pidx = jax.lax.top_k(pending.astype(jnp.int32), m)
         cvalid = pending[pidx]
         cfp0, cfp1, cg = fp0[pidx], fp1[pidx], g[pidx]
+        cbase = base[pidx] if base is not None else None
         cdone = ~cvalid
         caccept = jnp.zeros((m,), bool)
         for _ in range(passes - 1):
             t_fp0, t_fp1, t_g, claim, resolved, accepted = one_pass(
-                t_fp0, t_fp1, t_g, claim, cfp0, cfp1, cg, ~cdone)
+                t_fp0, t_fp1, t_g, claim, cfp0, cfp1, cg, ~cdone, cbase)
             caccept = caccept | accepted
             cdone = cdone | resolved
         # scatter the compacted outcomes back to full width
@@ -175,21 +198,27 @@ def ht_insert(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,
     # still pending: accepted without insertion (safe; counts as overflow)
     leftover = valid & ~done
     accept = accept | leftover
+    if base is not None:
+        # flat mode: the caller aggregates overflow per instance
+        return HashTable(t_fp0, t_fp1, t_g, claim), accept, leftover
     overflow = jnp.sum(leftover.astype(jnp.int32))
     return HashTable(t_fp0, t_fp1, t_g, claim), accept, overflow
 
 
 def ht_lookup(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,
-              max_probes: int = 16) -> jnp.ndarray:
+              max_probes: int = 16, base=None,
+              inst_capacity: int = 0) -> jnp.ndarray:
     """Best known cost per key, INF_G if absent (read-only).
 
     Mirrors ht_insert's probe rule: the first fp0-match-or-empty slot is
     inspected. A key stored BEHIND a foreign fp0-colliding slot in its
     probe chain reads as absent (~2^-32 per occupied probe slot) — a safe
-    false-negative: the caller treats it as not-closed and re-expands."""
+    false-negative: the caller treats it as not-closed and re-expands.
+    `base`/`inst_capacity`: flat multi-instance mode, see ht_insert."""
     h = tbl.fp0.shape[0]
     fp0 = _remap_empty(fp0)
-    slots = _probe_slots(fp0, fp1, max_probes, h - 1)
+    mask = (inst_capacity - 1) if base is not None else (h - 1)
+    slots = _probe_slots(fp0, fp1, max_probes, mask, base)
     t0 = tbl.fp0[slots]
     stop = (t0 == fp0[:, None]) | (t0 == 0)
     has = jnp.any(stop, axis=1)

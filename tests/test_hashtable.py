@@ -131,3 +131,43 @@ def test_multi_pass_reduces_contention_overflow():
     # everything that was stored reads back
     got = np.asarray(ht_lookup(tbl3, fp0, fp1))
     assert (got[np.asarray(acc3)] == 0).all()
+
+
+def test_flat_multi_instance_matches_vmapped():
+    """Flat base-offset mode (round-4 instance-axis fix) must reproduce the
+    vmapped per-instance semantics exactly: same accepts, same lookups."""
+    import jax
+
+    rng = np.random.RandomState(7)
+    I, N, H = 3, 64, 256
+    fp0 = jnp.asarray(rng.randint(1, 2**32, (I, N), dtype=np.uint64)
+                      .astype(np.uint32))
+    fp1 = jnp.asarray(rng.randint(0, 2**32, (I, N), dtype=np.uint64)
+                      .astype(np.uint32))
+    g = jnp.asarray(rng.randint(0, 50, (I, N)).astype(np.int32))
+    valid = jnp.asarray(rng.rand(I, N) < 0.9)
+
+    # vmapped reference path
+    tbl_v = jax.vmap(lambda _: ht_new(H))(jnp.arange(I))
+    tbl_v, acc_v, _ = jax.vmap(ht_insert, in_axes=(0, 0, 0, 0, 0, None))(
+        tbl_v, fp0, fp1, g, valid, 6)
+    got_v = jax.vmap(ht_lookup, in_axes=(0, 0, 0, None))(tbl_v, fp0, fp1, 6)
+
+    # flat path
+    from deepcubea_tpu.search.hashtable import HashTable
+    tbl_f = HashTable(*(x.reshape(-1) for x in tbl_v._replace(
+        fp0=jnp.zeros((I, H), jnp.uint32), fp1=jnp.zeros((I, H), jnp.uint32),
+        g=jnp.full((I, H), INF_G, jnp.int32),
+        claim=jnp.zeros((I, H), jnp.int32))))
+    base = jnp.repeat(jnp.arange(I, dtype=jnp.int32) * H, N)
+    tbl_f, acc_f, left = ht_insert(tbl_f, fp0.reshape(-1), fp1.reshape(-1),
+                                   g.reshape(-1), valid.reshape(-1), 6,
+                                   base=base, inst_capacity=H)
+    got_f = ht_lookup(tbl_f, fp0.reshape(-1), fp1.reshape(-1), 6,
+                      base=base, inst_capacity=H)
+
+    np.testing.assert_array_equal(np.asarray(acc_v).reshape(-1),
+                                  np.asarray(acc_f))
+    np.testing.assert_array_equal(np.asarray(got_v).reshape(-1),
+                                  np.asarray(got_f))
+    assert not np.asarray(left).any()  # no overflow at this load
