@@ -80,9 +80,13 @@ DOMAINS = {
         model="saved_models/lightsout7_r3/current", weight=0.2,
         batch_size=1000, instances=4, pool=1 << 22, table=1 << 23,
         max_iters=8000, base_secs=5.90, base_nodes=1_142_240),
+    # B=2 matches the reference's B=1 python search (train.sh:79) in node
+    # economy (r4 test: ~1.7k nodes/state vs the old B=64 config's 124k);
+    # 16 streaming slots batch the searches into one dispatch chain over
+    # the flat-instance closed table
     "sokoban": dict(
-        model="saved_models/sokoban/current", weight=0.8, batch_size=64,
-        instances=16, pool=1 << 16, table=1 << 17, max_iters=2000,
+        model="saved_models/sokoban/current", weight=0.8, batch_size=2,
+        instances=16, pool=1 << 17, table=1 << 18, max_iters=8192,
         base_secs=2.71, base_nodes=5_014),
 }
 
