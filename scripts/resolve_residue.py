@@ -45,6 +45,13 @@ def main(argv=None):
     p.add_argument("--model", required=True)
     p.add_argument("--unsolved", action="store_true")
     p.add_argument("--nonopt", action="store_true")
+    p.add_argument("--ref_output", type=str, default=None,
+                   help="reference results output.txt: re-solve states whose "
+                        "solution is longer than the reference's (domains "
+                        "without optimal lengths in the test pickle)")
+    p.add_argument("--min_excess", type=int, default=1,
+                   help="with --ref_output: only states at least this many "
+                        "moves over the reference")
     p.add_argument("--tag", default="r4")
     p.add_argument("--weight", type=float, default=0.9)
     p.add_argument("--batch_size", type=int, default=20000)
@@ -78,6 +85,16 @@ def main(argv=None):
     n = len(results["solutions"])
     assert states.shape[0] == n, (states.shape, n)
 
+    ref_lens = None
+    if args.ref_output:
+        import re
+        ref_lens = {}
+        with open(args.ref_output) as f:
+            for line in f:
+                m = re.search(r"State: (\d+), SolnCost: ([\d.]+)", line)
+                if m:
+                    ref_lens[int(m.group(1))] = int(float(m.group(2)))
+
     idxs = []
     for i in range(n):
         sol = results["solutions"][i]
@@ -85,6 +102,9 @@ def main(argv=None):
             idxs.append(i)
         elif (args.nonopt and sol is not None and opt_lens is not None
               and len(sol) > opt_lens[i]):
+            idxs.append(i)
+        elif (ref_lens is not None and sol is not None and i in ref_lens
+              and len(sol) >= ref_lens[i] + args.min_excess):
             idxs.append(i)
     if args.limit:
         idxs = idxs[:args.limit]
