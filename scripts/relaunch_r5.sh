@@ -79,3 +79,25 @@ log "all relaunched"
 #     --instances 1 --pool_capacity 16777216 --table_capacity 33554432 --max_probes 6 \
 #     --approx_pop --stream --sort_by_h --max_iters 4000 \
 #     --results_dir results/puzzle48 --resume
+
+# 7. puzzle35 quality pass (round-4 finding, docs/RESULTS.md r4): the
+#    campaign's solutions are uniformly +2..+10 vs the reference on ~417
+#    states because (a) approx_pop inflates the C++-rule proof bound
+#    (premature termination: exact pop alone recovered 8 moves on the
+#    worst state) and (b) the hard tail exhausts a 16M pool (identical
+#    node counts at w=0.8/0.85/0.9 = pool-bound). Re-solve longer-than-
+#    reference states with exact pop + 32M pool:
+#   python scripts/resolve_residue.py --env puzzle35 \
+#     --results_dir results/puzzle35 \
+#     --states /root/reference/data/puzzle35/test/data_0.pkl \
+#     --model saved_models/puzzle35/current \
+#     --ref_output /root/reference/results/puzzle35/output.txt \
+#     --min_excess 2 --tag r5q --weight 0.8 --batch_size 20000 \
+#     --max_iters 4000 --pool_capacity 33554432 --table_capacity 67108864
+#   (resolve_residue passes --approx_pop never; cli default is exact pop)
+# 8. sokoban: if results.pkl < 1000 solved after the B=2 re-campaign,
+#    finish with: scripts/resolve_residue.py --env sokoban --unsolved
+#    --weight 0.8 --batch_size 16 --instances 8 --max_iters 16384
+#    --pool_capacity 1048576 --table_capacity 2097152 ... then
+#    scripts/merge_results.py with results/sokoban/results_old.pkl as
+#    fallback for anything still open.
