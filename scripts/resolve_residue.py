@@ -60,6 +60,11 @@ def main(argv=None):
     p.add_argument("--pool_capacity", type=int, default=1 << 24)
     p.add_argument("--table_capacity", type=int, default=1 << 25)
     p.add_argument("--max_probes", type=int, default=6)
+    p.add_argument("--approx_pop", action="store_true",
+                   help="approx top-k pop; OFF by default here — residue "
+                        "passes are quality passes, and approx pop "
+                        "inflates the proof-rule bound (premature "
+                        "termination, +2..+8 moves observed on puzzle35)")
     p.add_argument("--limit", type=int, default=0,
                    help="cap the number of residue states (0 = all)")
     p.add_argument("--dry_run", action="store_true")
@@ -126,7 +131,8 @@ def main(argv=None):
              "--instances", str(min(args.instances, len(idxs))),
              "--pool_capacity", str(args.pool_capacity),
              "--table_capacity", str(args.table_capacity),
-             "--max_probes", str(args.max_probes), "--approx_pop",
+             "--max_probes", str(args.max_probes),
+             *(["--approx_pop"] if args.approx_pop else []),
              "--stream", "--max_iters", str(args.max_iters),
              "--results_dir", sub_dir, "--resume"]
     print("cli.solve", " ".join(argv2))
