@@ -188,10 +188,16 @@ def measure(env, model, params, stats, cfg, iters=20):
         state = step(state, params, stats)
     jax.block_until_ready(state.f)
 
+    # sync EVERY step: the axon layer dedupes byte-identical in-flight
+    # dispatches (r3 profile_micro finding), and with full donation the
+    # flat-table step's argument buffers repeat across calls — 20 queued
+    # steps collapsed to one execution and read as 360M nodes/s (r4).
+    # Per-step sync keeps at most one dispatch in flight; the measured
+    # rate includes one host round-trip per step (conservative).
     t0 = time.time()
     for _ in range(iters):
         state = step(state, params, stats)
-    jax.block_until_ready(state.f)
+        jax.block_until_ready(state.f)
     dt = time.time() - t0
     nodes = iters * cfg.batch_size * env.num_actions
     log(f"{iters} iters in {dt:.2f}s; pool size "
