@@ -180,24 +180,27 @@ def measure(env, model, params, stats, cfg, iters=20):
     state = astar_init(env, cfg, roots)
     step = make_astar_step(env, model, cfg)
 
+    # Fuse all measured iterations into ONE dispatch (fori_loop over the
+    # step): the axon layer dedupes byte-identical in-flight dispatches
+    # (r3 profile_micro finding), and with full donation the step's
+    # argument buffers repeat across calls — 20 separately-queued steps
+    # collapsed to one execution and read as an impossible 360M nodes/s
+    # (r4). A single fused dispatch has no host round-trips to hide and
+    # nothing to dedupe; it measures the pure device rate.
+    macro = jax.jit(lambda s: jax.lax.fori_loop(
+        0, iters, lambda i, x: step(x, params, stats), s),
+        donate_argnums=(0,))
+
     t0 = time.time()
-    state = step(state, params, stats)
+    state = macro(state)
     jax.block_until_ready(state.f)
-    log(f"compile+first step: {time.time() - t0:.1f}s")
-    for _ in range(2):
-        state = step(state, params, stats)
+    log(f"compile+first macro({iters} steps): {time.time() - t0:.1f}s")
+    state = macro(state)
     jax.block_until_ready(state.f)
 
-    # sync EVERY step: the axon layer dedupes byte-identical in-flight
-    # dispatches (r3 profile_micro finding), and with full donation the
-    # flat-table step's argument buffers repeat across calls — 20 queued
-    # steps collapsed to one execution and read as 360M nodes/s (r4).
-    # Per-step sync keeps at most one dispatch in flight; the measured
-    # rate includes one host round-trip per step (conservative).
     t0 = time.time()
-    for _ in range(iters):
-        state = step(state, params, stats)
-        jax.block_until_ready(state.f)
+    state = macro(state)
+    jax.block_until_ready(state.f)
     dt = time.time() - t0
     nodes = iters * cfg.batch_size * env.num_actions
     log(f"{iters} iters in {dt:.2f}s; pool size "
