@@ -87,6 +87,11 @@ DOMAINS = {
     "sokoban": dict(
         model="saved_models/sokoban/current", weight=0.8, batch_size=2,
         instances=16, pool=1 << 17, table=1 << 18, max_iters=8192,
+        # B=2 x I=16 device work is ~ms-scale; per-dispatch overhead
+        # dominated r4's 150-200 ms step. Fuse 64 iters per dispatch
+        # (solve_stream check_every); a finished slot idles <=64 of the
+        # ~850 iters a typical sokoban state takes.
+        check_every=64,
         base_secs=2.71, base_nodes=5_014),
 }
 
@@ -111,6 +116,7 @@ def bench_domain(domain: str, num_states: int, start_idx: int):
         "--max_iters", str(d["max_iters"]), "--results_dir", out_dir,
         "--start_idx", str(start_idx),
         "--end_idx", str(start_idx + num_states),
+        "--check_every", str(d.get("check_every", 8)),
     ]
     if domain == "sokoban":  # no sort_by_h: tiny batches, ragged instances
         argv = [a for a in argv if a != "--sort_by_h"]
@@ -198,6 +204,11 @@ def measure(env, model, params, stats, cfg, iters=20):
     state = macro(state)
     jax.block_until_ready(state.f)
 
+    # Time a FRESH search: three macros on one state run 60 steps, and
+    # with cfg's 1<<22 pool the third (timed) macro would partially
+    # measure a saturated regime — pool full around step ~34, table at
+    # ~85% load, overflow-accepts — not steady-state search (ADVICE r4).
+    state = astar_init(env, cfg, roots)
     t0 = time.time()
     state = macro(state)
     jax.block_until_ready(state.f)

@@ -56,6 +56,12 @@ def parse_args(argv=None):
                         "finished slots are re-seeded without recompiling "
                         "(kills lockstep-straggler waste; real per-state "
                         "times)")
+    p.add_argument("--check_every", type=int, default=8,
+                   help="search iterations fused into one device dispatch "
+                        "between done-vector reads (streaming engine); "
+                        "raise for small B*I configs where per-dispatch "
+                        "overhead dominates, at the cost of up to this "
+                        "many wasted iters per finished slot")
     p.add_argument("--max_iters_per", type=int, default=None,
                    help="per-state step budget for --stream (default: "
                         "--max_iters)")
@@ -360,7 +366,8 @@ def _solve_streaming(args, env, solver, states, order, results):
     budget = args.max_iters_per or args.max_iters
     res = solver.solve_stream(
         np.asarray(ordered), instances=args.instances,
-        max_iters_per=budget, verbose=args.verbose, on_result=on_result)
+        max_iters_per=budget, check_every=args.check_every,
+        verbose=args.verbose, on_result=on_result)
     del res
 
 

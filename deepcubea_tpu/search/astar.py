@@ -438,6 +438,7 @@ class BatchWeightedAStar:
         self.cfg = cfg
         self.mesh = mesh
         self._step = make_astar_step(env, model, cfg)
+        self._multi: dict = {}  # k -> jitted k-step fused dispatch
         self._extract = make_path_extractor(cfg)
         self._reset = make_slot_reset(env, cfg)
         if mesh is not None:
@@ -452,6 +453,30 @@ class BatchWeightedAStar:
             return state
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, self._inst_sharding), state)
+
+    def _steps(self, state: SearchState, k: int) -> SearchState:
+        """Advance the search k iterations in ONE device dispatch.
+
+        k host-queued step dispatches cost k fixed per-dispatch overheads
+        (dominant at small B*I — sokoban's B=2 x I=16 step ran 150-200 ms
+        where ~10-20 ms is device work, r4 profile), and with full donation
+        their argument buffers repeat addresses, exposing them to the axon
+        layer's in-flight byte-identical dispatch dedup (the r4 bench
+        hazard, commit 6af68cc). One fused `fori_loop` dispatch has neither
+        problem; the body is traced once so compile cost matches a single
+        step. Done instances are masked inside the step (live = ~done), so
+        fusing never over-advances finish_iters."""
+        if k == 1:
+            return self._step(state, self.params, self.batch_stats)
+        fn = self._multi.get(k)
+        if fn is None:
+            step = self._step
+            fn = jax.jit(
+                lambda s, p, bs: jax.lax.fori_loop(
+                    0, k, lambda _, x: step(x, p, bs), s),
+                donate_argnums=(0,))
+            self._multi[k] = fn
+        return fn(state, self.params, self.batch_stats)
 
     def solve(self, roots: jnp.ndarray,
               weights: Optional[np.ndarray] = None,
@@ -469,9 +494,8 @@ class BatchWeightedAStar:
                                               self._repl_sharding)
         iters = 0
         while iters < max_iters:
-            for _ in range(check_every):
-                state = self._step(state, self.params, self.batch_stats)
-                iters += 1
+            state = self._steps(state, check_every)
+            iters += check_every
             done = np.asarray(state.done)
             if verbose:
                 # open/closed-size + overflow breakdown, the analogue of the
@@ -567,8 +591,7 @@ class BatchWeightedAStar:
         total_iters = 0
 
         while completed < n:
-            for _ in range(check_every):
-                state = self._step(state, self.params, self.batch_stats)
+            state = self._steps(state, check_every)
             total_iters += check_every
             done = np.asarray(state.done)
             # blocking read above = no device work in flight: safe point

@@ -221,8 +221,9 @@ def make_sharded_astar_step(env: Environment, model: ResnetValueNet,
         # dense buffer + one block write, as in astar.py (the last nr pool
         # rows are slack so the block never clamps; buffer tails carry
         # f=+inf so slack rows never enter the open list)
-        tbl, accept, ovf = ht_insert(s.tbl, r_fp0, r_fp1, r_g, r_valid,
-                                     cfg.max_probes)
+        tbl, accept, left = ht_insert(s.tbl, r_fp0, r_fp1, r_g, r_valid,
+                                      cfg.max_probes)
+        ovf = jnp.sum(left.astype(jnp.int32))
         cl_eff = cl - nr
         offs = jnp.cumsum(accept.astype(jnp.int32)) - 1
         local_dest = s.size[0] + offs

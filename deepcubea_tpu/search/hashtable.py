@@ -93,8 +93,10 @@ def ht_insert(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,
 
     accept[i] is True iff entry i is new or strictly cheaper than the
     table's best known cost for its key (the reopen rule of
-    astar.py:78-90 / cpp:243-265). overflow counts entries accepted without
-    insertion (contention loss / probe exhaustion).
+    astar.py:78-90 / cpp:243-265). overflow is a per-key bool array marking
+    entries accepted without insertion (contention loss / probe
+    exhaustion); callers reduce it (sum, or per-instance reshape+sum in
+    flat mode) — one return type for every mode.
 
     Each pass is one-shot for every still-pending key; a pass loses only
     same-round contention to a *foreign* key at the same empty slot, so the
@@ -195,14 +197,14 @@ def ht_insert(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,
         done = done | jnp.zeros((n,), bool).at[safe].set(
             cdone & cvalid, mode="drop")
 
-    # still pending: accepted without insertion (safe; counts as overflow)
+    # still pending: accepted without insertion (safe; counts as overflow).
+    # Always returned as the per-key bool array regardless of mode —
+    # callers reduce (sum) as needed. A single return type means switching
+    # between flat and plain mode cannot silently change the meaning of
+    # the aggregation (ADVICE r4).
     leftover = valid & ~done
     accept = accept | leftover
-    if base is not None:
-        # flat mode: the caller aggregates overflow per instance
-        return HashTable(t_fp0, t_fp1, t_g, claim), accept, leftover
-    overflow = jnp.sum(leftover.astype(jnp.int32))
-    return HashTable(t_fp0, t_fp1, t_g, claim), accept, overflow
+    return HashTable(t_fp0, t_fp1, t_g, claim), accept, leftover
 
 
 def ht_lookup(tbl: HashTable, fp0: jnp.ndarray, fp1: jnp.ndarray,

@@ -489,19 +489,30 @@ class AVITrainer:
         exactly the plateau the feature exists to catch (ADVICE r3)."""
         import json as _json
         hist = []
+        cur_itr = int(self.itr)
         try:
             with open(metrics_path) as f:
                 for line in f:
+                    # Each line is independently best-effort: a malformed
+                    # record (non-dict JSON, non-numeric depth key, missing
+                    # per_solved) is skipped, never fatal to resume
+                    # (ADVICE r4). Records logged past the checkpoint being
+                    # resumed (crash between metric write and save, or
+                    # resuming an older checkpoint) are dropped so the
+                    # rebuilt history matches the resumed trainer state.
                     try:
-                        ev = _json.loads(line).get("eval")
-                    except ValueError:
+                        rec = _json.loads(line)
+                        ev = rec.get("eval")
+                        if not ev:
+                            continue
+                        if int(rec.get("itr", 0)) > cur_itr:
+                            continue
+                        depths = sorted(int(d) for d in ev)
+                        deep = [d for d in depths if d >= depths[-1] * 2 // 3]
+                        hist.append(float(np.mean(
+                            [ev[str(d)]["per_solved"] for d in deep])))
+                    except (ValueError, KeyError, TypeError, AttributeError):
                         continue
-                    if not ev:
-                        continue
-                    depths = sorted(int(d) for d in ev)
-                    deep = [d for d in depths if d >= depths[-1] * 2 // 3]
-                    hist.append(float(np.mean(
-                        [ev[str(d)]["per_solved"] for d in deep])))
         except OSError:
             return 0
         self._deep_band_hist = hist

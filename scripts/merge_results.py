@@ -18,7 +18,9 @@ import numpy as np
 def better(a_sol, a_nodes, b_sol, b_nodes):
     """True if entry A (primary) should be kept over B."""
     if a_sol is None:
-        return False
+        # both unsolved: keep A untouched rather than pointlessly
+        # overwriting its times/nodes with B's (ADVICE r4)
+        return b_sol is None
     if b_sol is None:
         return True
     if len(a_sol) != len(b_sol):
@@ -36,6 +38,10 @@ def main():
     assert len(B["solutions"]) == n
     assert np.array_equal(np.asarray(A["states"]), np.asarray(B["states"]))
     kept_a = 0
+    prov = A.setdefault("time_provenance", [None] * n)
+    if len(prov) < n:
+        prov.extend([None] * (n - len(prov)))
+    b_prov = B.get("time_provenance") or [None] * n
     for i in range(n):
         if better(A["solutions"][i], A["num_nodes_generated"][i],
                   B["solutions"][i], B["num_nodes_generated"][i]):
@@ -43,6 +49,8 @@ def main():
             continue
         for k in ("solutions", "paths", "times", "num_nodes_generated"):
             A[k][i] = B[k][i]
+        # mark the timing convention switch for clean-timing consumers
+        prov[i] = b_prov[i] or "merged_fallback"
     with open(out, "wb") as f:
         pickle.dump(A, f, protocol=-1)
     solved = [s for s in A["solutions"] if s is not None]

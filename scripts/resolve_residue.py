@@ -142,6 +142,15 @@ def main(argv=None):
         sub = pickle.load(f)
 
     improved = 0
+    # Replaced entries carry the residue sub-run's time, which for the
+    # first `instances` assigned states absorbs that run's XLA compile,
+    # and in any case was measured under a different config than the
+    # campaign's. Stamp per-state provenance so clean-timing consumers
+    # can exclude these entries instead of silently mixing conventions
+    # (ADVICE r4).
+    prov = results.setdefault("time_provenance", [None] * n)
+    if len(prov) < n:
+        prov.extend([None] * (n - len(prov)))
     for j, i in enumerate(idxs):
         new = sub["solutions"][j]
         old = results["solutions"][i]
@@ -151,6 +160,7 @@ def main(argv=None):
             results["paths"][i] = sub["paths"][j]
             results["times"][i] = sub["times"][j]
             results["num_nodes_generated"][i] = sub["num_nodes_generated"][j]
+            prov[i] = f"residue_{args.tag}"
             improved += 1
     tmp = res_path + ".tmp"
     with open(tmp, "wb") as f:

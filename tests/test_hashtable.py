@@ -20,7 +20,7 @@ def test_insert_then_lookup():
     g = jnp.arange(32, dtype=jnp.int32)
     tbl, accept, ovf = ht_insert(tbl, fp0, fp1, g, jnp.ones(32, bool))
     assert np.asarray(accept).all()
-    assert int(ovf) == 0
+    assert int(np.asarray(ovf).sum()) == 0
     got = ht_lookup(tbl, fp0, fp1)
     np.testing.assert_array_equal(np.asarray(got), np.arange(32))
 
@@ -102,8 +102,8 @@ def test_high_load_probing():
     miss = (got != np.arange(768)).sum()
     # overflow entries are accepted but not stored; everything stored must
     # read back exactly
-    assert miss == int(ovf)
-    assert int(ovf) <= 8
+    assert miss == int(np.asarray(ovf).sum())
+    assert int(np.asarray(ovf).sum()) <= 8
 
 
 def test_zero_key_remap():
@@ -126,8 +126,8 @@ def test_multi_pass_reduces_contention_overflow():
     v = jnp.ones(128, bool)
     _, _, ovf1 = ht_insert(tbl1, fp0, fp1, g, v, passes=1)
     tbl3, acc3, ovf3 = ht_insert(tbl3, fp0, fp1, g, v, passes=3)
-    assert int(ovf3) <= int(ovf1)
-    assert int(ovf3) <= 2
+    assert int(np.asarray(ovf3).sum()) <= int(np.asarray(ovf1).sum())
+    assert int(np.asarray(ovf3).sum()) <= 2
     # everything that was stored reads back
     got = np.asarray(ht_lookup(tbl3, fp0, fp1))
     assert (got[np.asarray(acc3)] == 0).all()
