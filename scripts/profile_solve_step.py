@@ -30,12 +30,14 @@ def log(*a):
 
 
 def measure(env_name, batch, instances, pool, table, iters, sync_every=None,
-            eval_budget=1.0, max_probes=6, approx_pop=True, label=""):
+            eval_budget=1.0, max_probes=6, approx_pop=True, label="",
+            env=None):
     from deepcubea_tpu.envs import get_environment
     from deepcubea_tpu.models import build_model, init_variables
     from deepcubea_tpu.search import AStarConfig, astar_init, make_astar_step
 
-    env = get_environment(env_name)
+    if env is None:
+        env = get_environment(env_name)
     model = build_model(env.nnet_config)
     params, stats = init_variables(model, jax.random.PRNGKey(0),
                                    env.encode(env.goal_states(2)))
@@ -57,23 +59,37 @@ def measure(env_name, batch, instances, pool, table, iters, sync_every=None,
     jax.block_until_ready(state.f)
 
     t0 = time.time()
-    if sync_every:
+    if sync_every == "fused":
+        # one fori_loop dispatch over all iters: measures pure device
+        # rate, immune to per-dispatch overhead AND to the axon layer's
+        # in-flight dedup of byte-identical donated-buffer dispatches
+        # (the r4 bench hazard, bench.py measure()). Compare against the
+        # per-step rows to read the dispatch overhead directly.
+        macro = jax.jit(lambda s: jax.lax.fori_loop(
+            0, iters, lambda _, x: step(x, params, stats), s),
+            donate_argnums=(0,))
+        state = macro(state)
+        jax.block_until_ready(state.f)
+        t0 = time.time()  # timed second macro, compile excluded
+        state = macro(state)
+        jax.block_until_ready(state.f)
+    elif sync_every:
         k = 0
         for _ in range(iters):
             state = step(state, params, stats)
             k += 1
             if k % sync_every == 0:
                 _ = np.asarray(state.done)  # solve_stream cadence
+        jax.block_until_ready(state.f)
     else:
         for _ in range(iters):
             state = step(state, params, stats)
-    jax.block_until_ready(state.f)
-    dt = (time.time() - t0) / iters
+        dt = (time.time() - t0) / iters
     nodes_s = batch * env.num_actions * instances / dt
     tag = label or (
         f"{env_name} B={batch} I={instances} pool=2^{pool.bit_length()-1} "
         f"tbl=2^{table.bit_length()-1} "
-        f"sync={'every'+str(sync_every) if sync_every else 'free'}")
+        f"sync={sync_every if isinstance(sync_every, str) else ('every' + str(sync_every) if sync_every else 'free')}")
     print(f"{tag}: {dt*1000:8.1f} ms/step  {nodes_s:12,.0f} nodes/s  "
           f"(compile {compile_s:.0f}s)", flush=True)
 
@@ -108,6 +124,27 @@ def sweep_breakdown(iters):
     measure(**base, eval_budget=0.5, label="NN on 50% of children")
 
 
+def sweep_sokoban(iters):
+    """Round-5 (VERDICT r4 weak #1): the B=2 x I=16 production step ran
+    150-200 ms where ~10-20 ms of device work is expected. Separate
+    per-dispatch overhead (per-step vs fused rows) from true device time,
+    at the campaign config and a few scaled ones."""
+    import pickle
+    from deepcubea_tpu.envs import get_environment, load_boards_from_grid
+    env = get_environment("sokoban")
+    boards = pickle.load(
+        open("/root/reference/data/sokoban/data_0.pkl", "rb"))
+    env.set_boards(load_boards_from_grid(boards))
+    K = 1 << 10
+    for sync in ("fused", None, 8):
+        measure("sokoban", 2, 16, 128 * K, 256 * K, iters, sync_every=sync,
+                env=env)
+    measure("sokoban", 16, 8, 512 * K, 1024 * K, iters, sync_every="fused",
+            env=env)
+    measure("sokoban", 2, 64, 128 * K, 256 * K, iters, sync_every="fused",
+            env=env)
+
+
 def sweep_iaxis(iters):
     """Round-4: why does I=2 cost 3.3x an I=1 step (not 2x)? Bisect the
     instance-axis penalty into NN / table-probe / pop shares."""
@@ -124,7 +161,8 @@ def sweep_iaxis(iters):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=16)
-    p.add_argument("--mode", choices=["configs", "breakdown", "iaxis"],
+    p.add_argument("--mode",
+                   choices=["configs", "breakdown", "iaxis", "sokoban"],
                    default="configs")
     args = p.parse_args()
     log(f"devices: {jax.devices()}")
@@ -133,6 +171,8 @@ def main():
             sweep_breakdown(args.iters)
         elif args.mode == "iaxis":
             sweep_iaxis(args.iters)
+        elif args.mode == "sokoban":
+            sweep_sokoban(args.iters)
         else:
             sweep_configs(args.iters)
 

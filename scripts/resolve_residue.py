@@ -67,6 +67,15 @@ def main(argv=None):
                         "termination, +2..+8 moves observed on puzzle35)")
     p.add_argument("--limit", type=int, default=0,
                    help="cap the number of residue states (0 = all)")
+    p.add_argument("--max_nodes", type=int, default=0,
+                   help="also select solved states whose recorded node "
+                        "count exceeds this (node-economy passes, e.g. "
+                        "sokoban's legacy B=64 entries); merged when the "
+                        "re-solve is shorter OR equal-length with fewer "
+                        "nodes")
+    p.add_argument("--check_every", type=int, default=8,
+                   help="fused iterations per device dispatch "
+                        "(cli.solve --check_every)")
     p.add_argument("--dry_run", action="store_true")
     args = p.parse_args(argv)
 
@@ -111,6 +120,9 @@ def main(argv=None):
         elif (ref_lens is not None and sol is not None and i in ref_lens
               and len(sol) >= ref_lens[i] + args.min_excess):
             idxs.append(i)
+        elif (args.max_nodes and sol is not None
+              and results["num_nodes_generated"][i] > args.max_nodes):
+            idxs.append(i)
     if args.limit:
         idxs = idxs[:args.limit]
     print(f"residue: {len(idxs)} states -> {idxs[:40]}{'...' if len(idxs) > 40 else ''}")
@@ -134,6 +146,7 @@ def main(argv=None):
              "--max_probes", str(args.max_probes),
              *(["--approx_pop"] if args.approx_pop else []),
              "--stream", "--max_iters", str(args.max_iters),
+             "--check_every", str(args.check_every),
              "--results_dir", sub_dir, "--resume"]
     print("cli.solve", " ".join(argv2))
     solve_cli.main(argv2)
@@ -155,6 +168,11 @@ def main(argv=None):
         new = sub["solutions"][j]
         old = results["solutions"][i]
         better = new is not None and (old is None or len(new) < len(old))
+        if (not better and args.max_nodes and new is not None
+                and old is not None and len(new) == len(old)):
+            # node-economy pass: same length at fewer nodes also merges
+            better = (sub["num_nodes_generated"][j]
+                      < results["num_nodes_generated"][i])
         if better:
             results["solutions"][i] = new
             results["paths"][i] = sub["paths"][j]

@@ -278,6 +278,32 @@ def test_solve_stream_optimal_and_streams_all():
     # (the result has no times field; times are reported via on_result)
 
 
+def test_solve_stream_fused_dispatch_matches():
+    """check_every>1 fuses k steps into one fori_loop dispatch
+    (BatchWeightedAStar._steps); results must match the per-step path
+    exactly — same solutions, same optimality."""
+    env = LightsOut(2)
+    model, params, stats = zero_heuristic_model(env)
+    dist = bfs_distances(env)
+    states = np.stack([np.frombuffer(s, np.uint8) for s in dist])
+    dists = np.array([dist[s.tobytes()] for s in states])
+
+    cfg = AStarConfig(weight=1.0, batch_size=4, pool_capacity=1 << 10,
+                      table_capacity=1 << 11, max_path_len=32)
+    solver = BatchWeightedAStar(env, model, params, stats, cfg)
+    res = solver.solve_stream(states, instances=3, check_every=4)
+    for i in range(states.shape[0]):
+        assert res.solutions[i] is not None, i
+        assert len(res.solutions[i]) == dists[i], i
+        assert is_valid_solution(env, states[i], res.solutions[i])
+    # the fused dispatch must also drive lockstep solve()
+    res2 = solver.solve(jnp.asarray(states[:3]), max_iters=64,
+                        check_every=4)
+    for i in range(3):
+        assert res2.solutions[i] is not None, i
+        assert len(res2.solutions[i]) == dists[i], i
+
+
 def test_solve_stream_budget_unsolved():
     """A root over its per-state step budget is returned unsolved and its
     slot is recycled for the rest of the stream."""
