@@ -189,8 +189,6 @@ def make_astar_step(env: Environment, model: ResnetValueNet,
                            inst_capacity=ht_cap).reshape(i, b)
         valid_pop = popped_real & (pop_g <= g_best)
 
-        min_pop_f = jnp.min(jnp.where(valid_pop, pop_f, INF_F), axis=1)
-
         # ---- expand all children in one env call (astar.py:99-170) ------
         flat_pop = pop_states.reshape(i * b, w)
         children, _tc = env.expand(flat_pop)           # (I*B, A, W)
@@ -288,11 +286,20 @@ def make_astar_step(env: Environment, model: ResnetValueNet,
 
         # ---- termination ---------------------------------------------------
         # C++ batch rule (cpp:184-208): the cheapest node left to expand can
-        # no longer beat the best goal. Python rule: first goal found.
+        # no longer beat the best goal. Measured as the TRUE min f over the
+        # open list after this iteration's push — one bandwidth-bound
+        # reduction over the pool f array (~0.1 ms at 32M) — NOT the min of
+        # the popped batch: under approx_pop the popped batch can miss the
+        # true open min, which fired the proof EARLY and inflated solution
+        # lengths +2..+8 moves (r4 puzzle35 finding, commit ee05eb9). With
+        # this rule the proof is exact for both pop modes; approx_pop only
+        # perturbs expansion ORDER, never the optimality bound.
+        # Python rule: first goal found.
         # exhausted = nothing at all came off the open list (an all-stale
         # pop round is NOT exhaustion; real nodes may remain)
         exhausted = ~jnp.any(popped_real, axis=1)
-        proof = jnp.isfinite(goal_f) & (min_pop_f >= goal_f)
+        open_min_f = jnp.min(f_new, axis=1)
+        proof = jnp.isfinite(goal_f) & (open_min_f >= goal_f)
         if cfg.first_goal:
             done = s.done | jnp.isfinite(goal_f) | exhausted
         else:

@@ -123,6 +123,18 @@ def main(argv=None):
         elif (args.max_nodes and sol is not None
               and results["num_nodes_generated"][i] > args.max_nodes):
             idxs.append(i)
+    # worst-first: order by excess over the reference/optimal length so a
+    # time-bounded pass recovers the most moves (r5 p35 quality pass)
+    def excess(i):
+        sol = results["solutions"][i]
+        if sol is None:
+            return 1 << 30
+        if opt_lens is not None:
+            return len(sol) - opt_lens[i]
+        if ref_lens is not None and i in ref_lens:
+            return len(sol) - ref_lens[i]
+        return results["num_nodes_generated"][i]
+    idxs.sort(key=excess, reverse=True)
     if args.limit:
         idxs = idxs[:args.limit]
     print(f"residue: {len(idxs)} states -> {idxs[:40]}{'...' if len(idxs) > 40 else ''}")
