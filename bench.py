@@ -257,7 +257,8 @@ def main():
 def _main():
     from deepcubea_tpu.envs import Cube3
     from deepcubea_tpu.models import build_model, init_variables
-    from deepcubea_tpu.models.quant import quantize_serving
+    from deepcubea_tpu.models.quant import (calibrate_activation_scales,
+                                            quantize_serving)
     from deepcubea_tpu.search import AStarConfig
 
     log(f"devices: {jax.devices()}")
@@ -279,8 +280,10 @@ def _main():
     results["bf16"] = measure(env, model, params, stats, cfg)
     log(f"bf16 serving: {results['bf16']:,.0f} nodes/s")
     qparams = quantize_serving(model, params, stats)
+    cal, _ = env.generate_scrambles(jax.random.PRNGKey(7), 2048, 100)
+    qparams = calibrate_activation_scales(model, qparams, env.encode(cal))
     results["int8"] = measure(env, model, qparams, {}, cfg)
-    log(f"int8 serving: {results['int8']:,.0f} nodes/s")
+    log(f"int8 serving (static act scales): {results['int8']:,.0f} nodes/s")
 
     best = max(results, key=results.get)
     nodes_per_s = results[best]

@@ -151,8 +151,15 @@ def main(argv=None):
                                                       overrides)
     model = build_model(nnet_config)
     if args.int8:
-        from ..models.quant import quantize_serving
-        params, stats = quantize_serving(model, params, stats), {}
+        from ..models.quant import (calibrate_activation_scales,
+                                    quantize_serving)
+        qp = quantize_serving(model, params, stats)
+        # static activation scales: calibrate on deep scrambles so the
+        # per-layer ranges cover search-time inputs (dynamic per-row
+        # quantization was the reason int8 lost to bf16 end-to-end)
+        cal, _ = env.generate_scrambles(jax.random.PRNGKey(7), 2048, 100)
+        params, stats = calibrate_activation_scales(
+            model, qp, env.encode(cal)), {}
 
     print(f"devices: {jax.devices()}")
     if args.engine == "hybrid":

@@ -91,6 +91,56 @@ def is_quantized(params) -> bool:
     return isinstance(params, dict) and MARKER in params
 
 
+def calibrate_activation_scales(model: ResnetValueNet, qparams: Dict,
+                                sample_x: jnp.ndarray,
+                                margin: float = 1.25) -> Dict:
+    """Replace dynamic per-row activation quantization with STATIC
+    per-layer scales calibrated on a sample of encoded states.
+
+    Why: the dynamic path's per-row abs-max is a full reduction over each
+    activation tensor — at search batch sizes (120k x 1000 f32) that is an
+    extra ~1 GB of HBM traffic per inner layer that XLA cannot fuse into
+    the matmul epilogue, and it is the whole reason int8 serving measured
+    SLOWER end-to-end than bf16 (1.87M vs 2.21M nodes/s, BENCH_r04) while
+    the int8 matmul itself runs 2x. With a static scale the quantize is
+    elementwise (mul+round+clip+cast), fuses into the preceding
+    relu/add, and the activation round-trip disappears.
+
+    Calibration: run the folded int8 forward on `sample_x`, record each
+    inner layer's max |activation|, multiply by `margin` (clipping a
+    0.1%-tail of outliers costs ~nothing for rank-only serving). Returns a
+    NEW qparams tree with an "as_" scalar per inner layer; quant_forward
+    dispatches on its presence."""
+    record: Dict[str, float] = {}
+
+    def probe_dense(name, x):
+        a = float(jnp.max(jnp.abs(x)))
+        record[name] = max(record.get(name, 0.0), a)
+        return _qdense(x, qparams[name])
+
+    x = sample_x
+    if model.one_hot_depth > 0:
+        x = jax.nn.one_hot(x.astype(jnp.int32), model.one_hot_depth,
+                           dtype=jnp.int8)
+        x = x.reshape(x.shape[0], model.state_dim * model.one_hot_depth)
+    x = jax.nn.relu(_qdense_binary(x, qparams["fc1"]))
+    x = jax.nn.relu(probe_dense("fc2", x))
+    for b in range(model.num_resnet_blocks):
+        res = x
+        x = jax.nn.relu(probe_dense(f"block{b}_fc1", x))
+        x = probe_dense(f"block{b}_fc2", x)
+        x = jax.nn.relu(x + res)
+    probe_dense("fc_out", x)
+
+    out = dict(qparams)
+    for name, amax in record.items():
+        layer = dict(qparams[name])
+        layer["as_"] = jnp.asarray(
+            max(amax * margin, 1e-12) / 127.0, jnp.float32)
+        out[name] = layer
+    return out
+
+
 def _qdense_binary(x_bits: jnp.ndarray, layer: Dict) -> jnp.ndarray:
     """First layer: x is exactly {0,1}; int8 cast is lossless."""
     acc = jax.lax.dot_general(
@@ -100,7 +150,19 @@ def _qdense_binary(x_bits: jnp.ndarray, layer: Dict) -> jnp.ndarray:
 
 
 def _qdense(x: jnp.ndarray, layer: Dict) -> jnp.ndarray:
-    """Inner layers: dynamic per-row symmetric int8 activations."""
+    """Inner layers. With a calibrated static scale ("as_", see
+    calibrate_activation_scales) the quantize is elementwise and fuses
+    into the preceding op; otherwise fall back to dynamic per-row
+    symmetric quantization (an unfused full-tensor reduction —
+    correct, but measured slower end-to-end than bf16)."""
+    a_s = layer.get("as_")
+    if a_s is not None:
+        x_q = jnp.clip(jnp.round(x * (1.0 / a_s)), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            x_q, layer["wq"], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return (acc.astype(jnp.float32) * (a_s * layer["ws"][None, :])
+                + layer["bias"])
     a = jnp.max(jnp.abs(x), axis=1, keepdims=True)
     a_s = jnp.maximum(a, 1e-12) / 127.0
     x_q = jnp.clip(jnp.round(x / a_s), -127, 127).astype(jnp.int8)

@@ -87,6 +87,26 @@ def test_int8_error_small(small_net):
         np.abs(qv - ref).max(), scale)
 
 
+def test_static_activation_scales_error_small(small_net):
+    """Calibrated static activation scales (the fused serving path) must
+    stay close to the f32 forward on held-out states, including states
+    DEEPER than the calibration sample (margin headroom)."""
+    from deepcubea_tpu.models.quant import calibrate_activation_scales
+    env, model, params, stats = small_net
+    q = quantize_serving(model, params, stats)
+    cal, _ = env.generate_scrambles(jax.random.PRNGKey(4), 128, 6)
+    qs = calibrate_activation_scales(model, q, env.encode(cal))
+    assert any("as_" in v for v in qs.values() if isinstance(v, dict))
+    states, _ = env.generate_scrambles(jax.random.PRNGKey(5), 256, 12)
+    x = env.encode(states)
+    ref = np.asarray(forward_eval(model.clone(dtype=jnp.float32),
+                                  params, stats, x))
+    qv = np.asarray(quant_forward(model, qs, x))
+    scale = max(np.abs(ref).max(), 1.0)
+    assert np.abs(qv - ref).max() / scale < 0.08, (
+        np.abs(qv - ref).max(), scale)
+
+
 def test_heuristic_values_dispatch(small_net):
     env, model, params, stats = small_net
     q = quantize_serving(model, params, stats)
