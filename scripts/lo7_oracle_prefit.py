@@ -71,8 +71,24 @@ def main():
         upd, opt = tx.update(g, opt, params)
         return optax.apply_updates(params, upd), new_stats, opt, loss
 
-    gen = jax.jit(lambda k: env.generate_scrambles(
-        k, args.batch, args.back_max)[0])
+    # Training distribution: half scrambles (uniform depth 1..back_max,
+    # covers the shallow band search actually traverses) + half UNIFORM
+    # RANDOM boards. For lightsout a uniform board is the deepest natural
+    # distribution — its optimal costs concentrate exactly in the c>=18
+    # band where the AVI net's ranking decayed to chance
+    # (docs/LIGHTSOUT_DEBUG.md finding 1) and where the campaign states
+    # live (reference avg 24.26). A first prefit attempt on scrambles
+    # alone UNDERSHOT the deep band (pred 17.8 vs opt 21.6 at 8k iters).
+    half = args.batch // 2
+
+    @jax.jit
+    def gen(k):
+        k1, k2 = jax.random.split(k)
+        sc = env.generate_scrambles(k1, args.batch - half,
+                                    args.back_max)[0]
+        uni = jax.random.bernoulli(
+            k2, 0.5, (half,) + sc.shape[1:]).astype(sc.dtype)
+        return jnp.concatenate([sc, uni], axis=0)
 
     # fixed deep probe for the gate metric (same key as the trainer's
     # oracle eval so curves line up across logs)
