@@ -193,6 +193,7 @@ def main(argv=None):
         print(f"profile written to {args.profile_dir}")
 
     trainer.train(max_itrs=args.max_itrs, on_update_end=on_update_end)
+    print(f"TRAINING COMPLETE: itr {trainer.itr}, update {trainer.update_num}")
 
 
 def _load_sokoban_boards(env, path):
