@@ -42,9 +42,23 @@ def build_toggle_masks(dim: int) -> np.ndarray:
 
 
 class LightsOut(Environment):
-    """dim x dim Lights Out (reference environments/lights_out.py)."""
+    """dim x dim Lights Out (reference environments/lights_out.py).
 
-    def __init__(self, dim: int):
+    `gf2_features=True` (env name `lightsout{dim}gf2`) widens the network
+    input with the board's GF(2)-canonical press vector x = A^{-1} s
+    (lightsout_oracle.py) — the domain's natural coordinates, in which
+    presses commute to single-bit flips. Search state, moves, and goal
+    test are unchanged; only `encode` differs, exactly like one-hot depth
+    is an input-representation choice (reference lights_out.py:80-83).
+    Motivation (docs/LIGHTSOUT_DEBUG.md round-5 section): in raw
+    coordinates the optimal cost is a 49-bit parity family, which SGD on
+    an MLP cannot rank beyond cost ~18 (measured, diag_lo7_dist.py), so
+    the identical-recipe AVI run climbs ~0.017 pp/update — years of
+    updates from the reference's endpoint. In canonical coordinates the
+    same AVI recipe converges immediately; requires an invertible toggle
+    matrix (true for the 7x7 board the reference trains)."""
+
+    def __init__(self, dim: int, gf2_features: bool = False):
         self.dim = dim
         self.state_width = dim * dim
         self.num_actions = dim * dim
@@ -52,6 +66,19 @@ class LightsOut(Environment):
         self.one_hot_depth = 6  # reference quirk: depth 6 for binary input (lights_out.py:81)
         self.encoded_width = self.state_width
         self.name = f"lightsout{dim}"
+        self.gf2_features = gf2_features
+        if gf2_features:
+            from .lightsout_oracle import LightsOutOracle
+            oracle = LightsOutOracle(dim)
+            if len(oracle.kernel):
+                raise ValueError(
+                    f"lightsout{dim}: toggle matrix singular "
+                    f"(nullity {len(oracle.kernel)}); gf2 features need "
+                    f"the unique-solution case")
+            self._oracle = oracle
+            self._pinv = jnp.asarray(oracle.pinv.astype(np.int32))
+            self.encoded_width = 2 * self.state_width
+            self.name = f"lightsout{dim}gf2"
 
         self._masks_np = build_toggle_masks(dim)
         self._masks = jnp.asarray(self._masks_np)
@@ -76,14 +103,18 @@ class LightsOut(Environment):
         return self._reverse
 
     def encode(self, states: jnp.ndarray) -> jnp.ndarray:
-        return states.astype(jnp.int32)
+        x = states.astype(jnp.int32)
+        if self.gf2_features:
+            press = (x @ self._pinv.T) % 2  # GF(2) canonical coordinates
+            x = jnp.concatenate([x, press], axis=1)
+        return x
 
     @property
     def nnet_config(self) -> dict:
         # reference lights_out.py:80-83
-        return dict(state_dim=self.state_width, one_hot_depth=6, h1_dim=5000,
-                    resnet_dim=1000, num_resnet_blocks=4, out_dim=1,
-                    batch_norm=True)
+        return dict(state_dim=self.encoded_width, one_hot_depth=6,
+                    h1_dim=5000, resnet_dim=1000, num_resnet_blocks=4,
+                    out_dim=1, batch_norm=True)
 
     def optimal_costs(self, states) -> np.ndarray:
         """Exact optimal press counts via the GF(2) oracle

@@ -15,7 +15,7 @@ from .sokoban import Sokoban
 def get_environment(env_name: str) -> Environment:
     env_name = env_name.lower()
     m_puzzle = re.fullmatch(r"puzzle(\d+)", env_name)
-    m_lightsout = re.fullmatch(r"lightsout(\d+)", env_name)
+    m_lightsout = re.fullmatch(r"lightsout(\d+)(gf2)?", env_name)
 
     if env_name == "cube3":
         return Cube3()
@@ -28,7 +28,8 @@ def get_environment(env_name: str) -> Environment:
             raise ValueError(f"puzzle{n_tiles}: {n_tiles}+1 is not a square")
         return NPuzzle(dim)
     if m_lightsout:
-        return LightsOut(int(m_lightsout.group(1)))
+        return LightsOut(int(m_lightsout.group(1)),
+                         gf2_features=m_lightsout.group(2) is not None)
     if env_name == "sokoban":
         return Sokoban(10, 4)
     raise ValueError(f"unknown environment: {env_name}")
