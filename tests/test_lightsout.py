@@ -59,3 +59,31 @@ def test_parity_with_reference(reference_path, env):
         ours = np.asarray(env.step(jnp.asarray(states_np),
                                    jnp.full((32,), a, jnp.int32)))
         np.testing.assert_array_equal(ours, ref_next)
+
+
+def test_gf2_features_variant():
+    """lightsout7gf2: encode appends the GF(2)-canonical press vector.
+    Invariants: popcount(press) equals the oracle optimal cost, and move
+    k flips exactly canonical bit k (docs/LIGHTSOUT_DEBUG.md round 5)."""
+    import numpy as np
+    from deepcubea_tpu.envs.registry import get_environment
+
+    env = get_environment("lightsout7gf2")
+    assert env.name == "lightsout7gf2"
+    assert env.encoded_width == 98
+    assert env.nnet_config["state_dim"] == 98
+    rng = np.random.default_rng(7)
+    s = rng.integers(0, 2, size=(32, 49)).astype(np.uint8)
+    enc = np.asarray(env.encode(s))
+    assert enc.shape == (32, 98)
+    assert (enc[:, :49] == s).all()
+    press = enc[:, 49:]
+    assert (press.sum(axis=1) == env.optimal_costs(s)).all()
+    k = 11
+    s2 = np.asarray(env.step(s, np.full(32, k)))
+    press2 = np.asarray(env.encode(s2))[:, 49:]
+    d = press ^ press2
+    assert (d.sum(axis=1) == 1).all() and (d[:, k] == 1).all()
+    # search state untouched: step/is_solved identical to the raw env
+    raw = get_environment("lightsout7")
+    assert (np.asarray(raw.step(s, np.full(32, k))) == s2).all()
