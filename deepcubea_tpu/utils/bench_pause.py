@@ -62,7 +62,12 @@ def _is_our_job(pid: int) -> bool:
             return False
         with open(f"/proc/{pid}/cmdline", "rb") as f:
             cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
-        return "python" in cmd and "deepcubea_tpu" in cmd
+        # scripts/resolve_residue.py drives cli.solve in-process, so its
+        # cmdline lacks the package name — without this clause residue
+        # jobs silently kept running through r5's sokoban slice and
+        # confounded it
+        return "python" in cmd and ("deepcubea_tpu" in cmd
+                                    or "resolve_residue" in cmd)
     except OSError:
         return False
 
