@@ -39,14 +39,16 @@ def measure(env_name, batch, instances, pool, table, iters, sync_every=None,
     if env is None:
         env = get_environment(env_name)
     model = build_model(env.nnet_config)
-    params, stats = init_variables(model, jax.random.PRNGKey(0),
-                                   env.encode(env.goal_states(2)))
     cfg = AStarConfig(weight=0.8, batch_size=batch, pool_capacity=pool,
                       table_capacity=table, approx_pop=approx_pop,
                       max_probes=max_probes, eval_budget_fraction=eval_budget)
     roots, _ = env.generate_scrambles(
         jax.random.PRNGKey(1), instances, 1000,
         depths=jnp.full((instances,), 1000, jnp.int32))
+    # init from scrambles, not goal_states: sokoban's goals are
+    # per-instance hindsight relabels and goal_states() raises
+    params, stats = init_variables(model, jax.random.PRNGKey(0),
+                                   env.encode(roots[:2]))
     state = astar_init(env, cfg, roots)
     step = make_astar_step(env, model, cfg)
 
@@ -84,7 +86,8 @@ def measure(env_name, batch, instances, pool, table, iters, sync_every=None,
     else:
         for _ in range(iters):
             state = step(state, params, stats)
-        dt = (time.time() - t0) / iters
+        jax.block_until_ready(state.f)
+    dt = (time.time() - t0) / iters
     nodes_s = batch * env.num_actions * instances / dt
     tag = label or (
         f"{env_name} B={batch} I={instances} pool=2^{pool.bit_length()-1} "
