@@ -76,8 +76,12 @@ DOMAINS = {
         model="saved_models/puzzle48/current", weight=0.6, batch_size=20000,
         instances=1, pool=1 << 24, table=1 << 25, max_iters=4000,
         base_secs=144.08, base_nodes=19_766_226),
+    # env lightsout7gf2 = GF(2)-canonical input features (the r5 shipped
+    # intervention after the raw-coordinate parity wall, docs/
+    # LIGHTSOUT_DEBUG.md round 5); data/states are plain lightsout7
     "lightsout7": dict(
-        model="saved_models/lightsout7_r3/current", weight=0.2,
+        model="saved_models/lightsout7_gf2/current", weight=0.2,
+        env="lightsout7gf2", data="lightsout7",
         batch_size=1000, instances=4, pool=1 << 22, table=1 << 23,
         max_iters=8000, base_secs=5.90, base_nodes=1_142_240),
     # B=2 matches the reference's B=1 python search (train.sh:79) in node
@@ -105,10 +109,11 @@ def bench_domain(domain: str, num_states: int, start_idx: int):
     from deepcubea_tpu.cli import solve as solve_cli
 
     d = DOMAINS[domain]
-    states_path = f"{REF}/data/{domain}/test/data_0.pkl"
+    states_path = f"{REF}/data/{d.get('data', domain)}/test/data_0.pkl"
     out_dir = tempfile.mkdtemp(prefix=f"bench_{domain}_")
     argv = [
-        "--states", states_path, "--model", d["model"], "--env", domain,
+        "--states", states_path, "--model", d["model"],
+        "--env", d.get("env", domain),
         "--weight", str(d["weight"]), "--batch_size", str(d["batch_size"]),
         "--instances", str(min(d["instances"], num_states)),
         "--pool_capacity", str(d["pool"]), "--table_capacity", str(d["table"]),
