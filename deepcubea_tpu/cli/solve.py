@@ -393,16 +393,17 @@ def _dump_results(results_dir, results):
 
 
 def _replay_path(env, state, moves):
-    s = jnp.asarray(np.asarray(state)[None, :])
-    path = [np.asarray(s)[0]]
-    for m in moves:
-        # env.step's one-hot/mask kernels silently corrupt the state for
-        # out-of-range action ids (e.g. stray -1 padding); guard here where
-        # host-side move lists circulate
-        assert 0 <= int(m) < env.num_actions, f"invalid move id {m}"
-        s = env.step(s, jnp.asarray([int(m)], jnp.int32))
-        path.append(np.asarray(s)[0])
-    return path
+    from ..utils.validate import replay_states
+
+    root = np.asarray(state)
+    if not moves:
+        return [root]
+    # single fused scan dispatch (utils/validate.py replay_states): the
+    # old per-move env.step loop serialized 1-2 tunnel round-trips per
+    # move and stalled the solve stream's slot refills for seconds per
+    # solved state (r5 sokoban campaign finding)
+    arr = replay_states(env, root, moves)
+    return [root] + [arr[i] for i in range(arr.shape[0])]
 
 
 if __name__ == "__main__":
